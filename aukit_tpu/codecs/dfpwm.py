@@ -1,0 +1,221 @@
+"""DFPWM1a codec — lane-batched JAX scan implementation.
+
+This replaces the reference's external native codec ``cc.audio.dfpwm``
+(aukit.lua:85; used at 1009/1013/1399/1430/2446/2509 — N1 in SURVEY.md §2.3).
+DFPWM1a is a 1-bit-per-sample adaptive delta codec: the decoder integrates a
+"charge" toward +127/-128 at an adaptive "strength", then applies an antijerk
+averager and a one-pole low-pass. It is strictly sequential in time, so the
+TPU-native formulation keeps time sequential (``lax.scan`` over bytes, 8 bit
+steps unrolled per byte) and vectorizes across *lanes* — thousands of
+independent streams decoded per dispatch (SURVEY.md §2.4, §5.7).
+
+Algorithm constants live in ``DfpwmSpec`` below. NOTE on parity: the bit-exact
+oracle is CC:Tweaked's ``rom/modules/main/cc/audio/dfpwm.lua``, which is not
+part of the reference tree and cannot be fetched in this environment; the spec
+here follows the published DFPWM1a algorithm (charge update with round-half-up
+at PREC=10, unit strength slew, flip-averaging antijerk, 140/256 output
+low-pass). All constants are centralized so a future parity pass against
+CC:Tweaked is a constants-only change; golden-vector tests freeze the current
+semantics.
+
+All state and arithmetic is int32 — Lua's float math on these values is exact
+integer math, and int32 never overflows here (|s*(t-q)| <= 1023*255 < 2^18).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# -- spec ---------------------------------------------------------------------
+
+PREC = 10
+PREC_POW = 1 << PREC  # 1024
+PREC_HALF = 1 << (PREC - 1)  # 512
+STRENGTH_MAX = PREC_POW - 1  # 1023
+LOWPASS_NUM = 140  # output low-pass strength, /256
+RESP_INC = 1  # strength slew per bit toward STRENGTH_MAX
+RESP_DEC = 1  # strength slew per bit toward 0
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DfpwmState:
+    """Per-lane decoder/encoder state (all int32[lanes])."""
+
+    charge: jnp.ndarray
+    strength: jnp.ndarray
+    previous_bit: jnp.ndarray  # 0/1
+    previous_charge: jnp.ndarray  # decoder antijerk state
+    lowpass: jnp.ndarray  # decoder output low-pass state
+
+    def tree_flatten(self):
+        return (
+            (self.charge, self.strength, self.previous_bit, self.previous_charge, self.lowpass),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @staticmethod
+    def zeros(lanes: int) -> "DfpwmState":
+        z = jnp.zeros((lanes,), jnp.int32)
+        return DfpwmState(z, z, z, z, z)
+
+
+def _predictor_step(charge, strength, previous_bit, bit):
+    """One shared predictor update (decoder & encoder). All int32 vectors."""
+    target = jnp.where(bit, 127, -128).astype(jnp.int32)
+    nq = charge + ((strength * (target - charge) + PREC_HALF) >> PREC)
+    stuck = (nq == charge) & (nq != target)
+    nq = jnp.where(stuck, nq + jnp.where(bit, 1, -1), nq)
+    same = bit == previous_bit
+    z = jnp.where(same, STRENGTH_MAX, 0).astype(jnp.int32)
+    ns = jnp.where(
+        strength != z, strength + jnp.where(same, RESP_INC, -RESP_DEC), strength
+    ).astype(jnp.int32)
+    return nq.astype(jnp.int32), ns, bit.astype(jnp.int32)
+
+
+def _decode_bit(state: DfpwmState, bit):
+    nq, ns, nb = _predictor_step(state.charge, state.strength, state.previous_bit, bit)
+    flipped = nb != state.previous_bit
+    antijerk = jnp.where(flipped, (nq + state.previous_charge + 1) >> 1, nq)
+    lowpass = state.lowpass + (((antijerk - state.lowpass) * LOWPASS_NUM + 0x80) >> 8)
+    return DfpwmState(nq, ns, nb, nq, lowpass.astype(jnp.int32)), lowpass.astype(jnp.int32)
+
+
+@jax.jit
+def dfpwm_decode(bytes_u8: jnp.ndarray, state: DfpwmState):
+    """Decode ``uint8[lanes, nbytes]`` -> (int32[lanes, nbytes*8], new_state).
+
+    Bits are consumed LSB-first within each byte (DFPWM convention). Output
+    samples are signed 8-bit values in [-128, 127] stored as int32.
+    """
+    lanes, nbytes = bytes_u8.shape
+    xs = bytes_u8.T.astype(jnp.int32)  # [nbytes, lanes] time-major
+
+    def step(st: DfpwmState, byte):
+        outs = []
+        for k in range(8):
+            bit = ((byte >> k) & 1) == 1
+            st, sample = _decode_bit(st, bit)
+            outs.append(sample)
+        return st, jnp.stack(outs)  # [8, lanes]
+
+    state, samples = jax.lax.scan(step, state, xs)  # samples [nbytes, 8, lanes]
+    out = jnp.transpose(samples.reshape(nbytes * 8, lanes))  # [lanes, nbytes*8]
+    return out, state
+
+
+@jax.jit
+def dfpwm_encode(levels_i32: jnp.ndarray, state: DfpwmState):
+    """Encode ``int32[lanes, nsamples]`` (values in [-128, 127]) ->
+    (uint8[lanes, nsamples//8], new_state). nsamples must be a multiple of 8.
+
+    Bit decision: 1 iff level > charge, or level == charge == 127 (the mirror
+    of the decoder, so silence encodes to alternating bits).
+    """
+    lanes, nsamples = levels_i32.shape
+    nbytes = nsamples // 8
+    xs = levels_i32.T.reshape(nbytes, 8, lanes)  # time-major bytes
+
+    def step(carry, byte_levels):
+        charge, strength, prev_bit = carry
+        bits = []
+        for k in range(8):
+            level = byte_levels[k]
+            bit = (level > charge) | ((level == charge) & (charge == 127))
+            charge, strength, prev_bit = _predictor_step(charge, strength, prev_bit, bit)
+            bits.append(bit.astype(jnp.int32) << k)
+        byte = sum(bits)
+        return (charge, strength, prev_bit), byte
+
+    carry = (state.charge, state.strength, state.previous_bit)
+    carry, bytes_ = jax.lax.scan(step, carry, xs)  # [nbytes, lanes]
+    new_state = DfpwmState(
+        carry[0], carry[1], carry[2], state.previous_charge, state.lowpass
+    )
+    return jnp.transpose(bytes_).astype(jnp.uint8), new_state
+
+
+# -- host-convenience paths ---------------------------------------------------
+
+_BLOCK_BYTES = 6000  # the reference slices DFPWM into 6000-byte chunks (aukit.lua:1399)
+
+
+class DfpwmStreamDecoder:
+    """Stateful lane-batched decoder mirroring ``dfpwm.make_decoder()``
+    semantics: feed successive byte chunks, receive int32 sample arrays. The
+    stream engine always feeds fixed-size chunks (6000*channels bytes, like the
+    reference at aukit.lua:2446), so each distinct chunk size compiles once."""
+
+    def __init__(self, lanes: int = 1):
+        self.lanes = lanes
+        self.state = DfpwmState.zeros(lanes)
+
+    def decode(self, chunks) -> np.ndarray:
+        """uint8[lanes, n] (or bytes for lanes==1) -> int32[lanes, n*8]"""
+        if isinstance(chunks, (bytes, bytearray, memoryview)):
+            chunks = np.frombuffer(bytes(chunks), dtype=np.uint8)[None, :]
+        chunks = np.atleast_2d(np.asarray(chunks, dtype=np.uint8))
+        if chunks.shape[1] == 0:
+            return np.zeros((chunks.shape[0], 0), np.int32)
+        out, self.state = dfpwm_decode(jnp.asarray(chunks), self.state)
+        return np.asarray(out)
+
+
+def decode_dfpwm_bytes(data: bytes, state: DfpwmState | None = None):
+    """Whole-buffer host decode: bytes -> (np.int32[n*8], DfpwmState)."""
+    raw = np.frombuffer(data, dtype=np.uint8)[None, :]
+    if state is None:
+        state = DfpwmState.zeros(1)
+    out, state = dfpwm_decode(jnp.asarray(raw), state)
+    return np.asarray(out)[0], state
+
+
+def encode_dfpwm_bytes(levels: np.ndarray, state: DfpwmState | None = None):
+    """Whole-buffer host encode: int levels [-128,127] -> (bytes, DfpwmState).
+    Length is truncated to a multiple of 8 samples (reference behavior: the
+    encoder consumes whole bytes)."""
+    levels = np.asarray(levels, dtype=np.int32).reshape(-1)
+    n = (len(levels) // 8) * 8
+    if state is None:
+        state = DfpwmState.zeros(1)
+    if n == 0:
+        return b"", state
+    out, state = dfpwm_encode(jnp.asarray(levels[:n][None, :]), state)
+    return np.asarray(out)[0].tobytes(), state
+
+
+def decode_dfpwm_audio(data: bytes, channels: int = 1, sample_rate: int = 48000):
+    """reference aukit.dfpwm (aukit.lua:1392): decode the full buffer with ONE
+    shared decoder, then treat samples as interleaved 8-bit signed PCM."""
+    from ..ops.pcmcode import decode_pcm
+
+    samples, _ = decode_dfpwm_bytes(data)
+    return decode_pcm(samples.astype(np.int64), 8, "signed", channels, True)
+
+
+def encode_dfpwm_audio(audio, interleaved: bool = True):
+    """reference Audio:dfpwm (aukit.lua:1005): one shared encoder over
+    interleaved samples, or one encoder per channel when planar."""
+    pcm = np.asarray(audio.pcm(8, "signed", interleaved=False))  # [C, N] floats
+    levels = np.trunc(pcm).astype(np.int32)
+    if interleaved:
+        inter = levels.T.reshape(-1)
+        data, _ = encode_dfpwm_bytes(inter)
+        return data
+    # independent encoder per channel — batch the lanes in one dispatch
+    n = (levels.shape[1] // 8) * 8
+    if n == 0:
+        return tuple(b"" for _ in range(levels.shape[0]))
+    out, _ = dfpwm_encode(jnp.asarray(levels[:, :n]), DfpwmState.zeros(levels.shape[0]))
+    out = np.asarray(out)
+    return tuple(out[c].tobytes() for c in range(out.shape[0]))

@@ -1,0 +1,184 @@
+"""Playback engines (reference aukit.play / aukit.player, aukit.lua:1890-2134).
+
+``play`` is the synchronous engine: a decode thread (the reference's producer
+coroutine) fills a bounded queue while the main thread drains chunks to the
+sinks, splitting >96000-sample chunks into 48000-sample pieces and retrying on
+sink back-pressure — the same overlap of decode and playback the reference
+builds from coroutines (SURVEY.md §2.4: its pipeline-parallelism analog).
+
+``player`` is the asynchronous engine with pause/play/seek/stop/live position
+(reference Player class, aukit.lua:2007-2134): a loader thread appends decoded
+chunks to a growing buffer; a player thread slices 48000-sample windows at the
+current position.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+
+import numpy as np
+
+from .sink import BufferSink, FileSink, NullSink, SinkBase  # noqa: F401
+
+
+def _split_chunks(chunk: np.ndarray):
+    """Split chunks >96000 samples into 48000-sample pieces (aukit.lua:1917)."""
+    n = chunk.shape[-1]
+    if n < 96000:
+        return [chunk]
+    return [chunk[:, i : i + 48000] for i in range(0, n, 48000)]
+
+
+def play(iterator, *sinks, progress=None, volume: float | None = None):
+    """Drain a stream iterator to one or more sinks (reference aukit.play,
+    aukit.lua:1890). Sink i receives channel i (falling back to channel 1,
+    aukit.lua:1935). Decode overlaps playback via a producer thread."""
+    if not sinks:
+        raise ValueError("expected at least one sink")
+    q: queue.Queue = queue.Queue(maxsize=8)
+
+    def producer():
+        try:
+            for item in iterator if hasattr(iterator, "__iter__") else iter(iterator, None):
+                q.put(item)
+        finally:
+            q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        chunk, pos = item
+        if progress is not None:
+            progress(pos)
+        chunk = np.atleast_2d(np.asarray(chunk))
+        for piece in _split_chunks(chunk):
+            for i, sink in enumerate(sinks):
+                ch = piece[i] if i < piece.shape[0] else piece[0]
+                while not sink.play_audio(ch, volume):
+                    sink.wait_drain(timeout=1.0)
+    t.join()
+
+
+class Player:
+    """Async player (reference aukit.player / Player, aukit.lua:2007-2134)."""
+
+    def __init__(self, iterator, *sinks, volume: float | None = None):
+        if not sinks:
+            raise ValueError("expected at least one sink")
+        self.sinks = sinks
+        self.volume = volume
+        self.is_paused = False
+        self.position = 0.0  # seconds
+        self._decoded: np.ndarray | None = None  # [C, n] growing buffer
+        self._decoded_len = 0
+        self._lock = threading.Condition()
+        self._stop = False
+        self.last_playback: tuple[float, int] | None = None  # (wall time, sample pos)
+        self._loader = threading.Thread(target=self._load, args=(iterator,), daemon=True)
+        self._player = threading.Thread(target=self._play_loop, daemon=True)
+        self._loader_done = False
+        self._loader.start()
+        self._player.start()
+
+    # -- loader task (aukit.lua:2085-2101) --------------------------------------
+    def _load(self, iterator):
+        try:
+            for chunk, _pos in iterator if hasattr(iterator, "__iter__") else iter(iterator, None):
+                chunk = np.atleast_2d(np.asarray(chunk))
+                with self._lock:
+                    if self._decoded is None:
+                        self._decoded = np.array(chunk, np.float32)
+                    else:
+                        self._decoded = np.concatenate([self._decoded, chunk], axis=1)
+                    self._decoded_len = self._decoded.shape[1]
+                    self._lock.notify_all()
+                if self._stop:
+                    return
+        finally:
+            with self._lock:
+                self._loader_done = True
+                self._lock.notify_all()
+
+    # -- player task (aukit.lua:2102-2132) ---------------------------------------
+    def _play_loop(self):
+        while not self._stop:
+            with self._lock:
+                spos = int(self.position * 48000)
+                ready = (
+                    not self.is_paused
+                    and self._decoded is not None
+                    and spos < self._decoded_len
+                )
+                if not ready:
+                    if self._loader_done and not self.is_paused and self._decoded is not None and spos >= self._decoded_len:
+                        return  # end of stream (aukit.lua:2125-2127)
+                    self._lock.wait(timeout=0.05)
+                    continue
+                window = self._decoded[:, spos : spos + 48000]
+                self.position += window.shape[1] / 48000
+            for i, sink in enumerate(self.sinks):
+                ch = window[i] if i < window.shape[0] else window[0]
+                while not sink.play_audio(ch, self.volume) and not self._stop:
+                    sink.wait_drain(timeout=0.5)
+            self.last_playback = (time.monotonic(), spos)
+
+    # -- controls -------------------------------------------------------------
+    def pause(self):
+        """aukit.lua:2011: stop sinks, estimate position from wall clock."""
+        if self.is_paused:
+            return
+        now = time.monotonic()
+        self.is_paused = True
+        for s in self.sinks:
+            s.stop()
+        if self.last_playback is not None:
+            t0, spos = self.last_playback
+            self.position = (spos + (now - t0) * 48000 - 1) / 48000
+
+    def play(self):
+        if not self.is_paused:
+            return
+        self.is_paused = False
+        with self._lock:
+            self._lock.notify_all()
+
+    def live_position(self) -> float:
+        """aukit.lua:2030: extrapolate from the last playback timestamp."""
+        if self.last_playback is None:
+            return 0.0
+        if self.is_paused:
+            return self.position
+        t0, spos = self.last_playback
+        return (spos + (time.monotonic() - t0) * 48000 - 1) / 48000
+
+    def seek(self, pos: float):
+        """aukit.lua:2041: set position and stop sinks; playback resumes once
+        the target is loaded."""
+        if pos < 0:
+            raise ValueError("position out of range")
+        with self._lock:
+            self.position = float(pos)
+            self._lock.notify_all()
+        for s in self.sinks:
+            s.stop()
+
+    def stop(self):
+        self._stop = True
+        with self._lock:
+            self._lock.notify_all()
+        for s in self.sinks:
+            s.stop()
+
+    def join(self, timeout=None):
+        self._player.join(timeout)
+
+
+def player(iterator, *sinks, volume: float | None = None) -> Player:
+    """Create an async Player (reference aukit.player, aukit.lua:2067 — the
+    Taskmaster loop is replaced by host threads)."""
+    return Player(iterator, *sinks, volume=volume)

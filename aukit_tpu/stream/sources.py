@@ -1,0 +1,114 @@
+"""Byte/sample sources for the streaming pipeline.
+
+The reference's stream functions accept a string, a table of values, or a
+function returning successive chunks (aukit.lua:2255-2362). The Python
+equivalents: ``bytes``, arrays/lists of sample values, callables returning
+``bytes | None``, or iterators of ``bytes``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import numpy as np
+
+from ..ops.pcmcode import normalize_pcm, unpack_pcm
+
+
+class ByteSource:
+    """Pull-based byte buffer over bytes / callable / iterator input."""
+
+    def __init__(self, data, transform: Callable[[bytes], bytes] | None = None):
+        self._buf = bytearray()
+        self._eof = False
+        self._transform = transform
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            self._buf[:] = bytes(data)
+            self._fn = None
+            self._eof = True
+        elif callable(data):
+            self._fn = data
+        elif hasattr(data, "__next__") or hasattr(data, "__iter__"):
+            it = iter(data)
+            self._fn = lambda: next(it, None)
+        else:
+            raise TypeError(f"unsupported stream source {type(data)!r}")
+
+    def push_front(self, data: bytes):
+        self._buf[:0] = data
+
+    def _fill(self, n: int):
+        while not self._eof and len(self._buf) < n:
+            chunk = self._fn()
+            if chunk is None:
+                self._eof = True
+                break
+            if self._transform is not None:
+                chunk = self._transform(chunk)
+            self._buf.extend(chunk)
+
+    def read(self, n: int) -> bytes:
+        """Up to n bytes; shorter only at EOF."""
+        self._fill(n)
+        out = bytes(self._buf[:n])
+        del self._buf[:n]
+        return out
+
+    def read_all(self) -> bytes:
+        self._fill(1 << 62)
+        out = bytes(self._buf)
+        del self._buf[:]
+        return out
+
+    @property
+    def exhausted(self) -> bool:
+        return self._eof and not self._buf
+
+
+class PcmFrameSource:
+    """Decodes an interleaved PCM byte/value source into [C, k] float frames
+    with optional mono mixdown (mean over channels, aukit.lua:2367-2371)."""
+
+    def __init__(
+        self,
+        data,
+        bit_depth: int,
+        data_type: str,
+        channels: int,
+        big_endian: bool = False,
+        mono: bool = False,
+    ):
+        self.bit_depth = bit_depth
+        self.data_type = data_type
+        self.channels = channels
+        self.big_endian = big_endian
+        self.mono = mono and channels > 1
+        self.bytes_per_frame = (bit_depth // 8) * channels
+        self._values = None
+        self._vpos = 0
+        self._bytes = None
+        self.total_frames = None
+        if isinstance(data, (bytes, bytearray, memoryview)) or callable(data) or hasattr(data, "__iter__") and not isinstance(data, (list, tuple, np.ndarray)):
+            self._bytes = ByteSource(data)
+            if isinstance(data, (bytes, bytearray, memoryview)):
+                self.total_frames = len(data) // self.bytes_per_frame
+        else:
+            self._values = np.asarray(data)
+            self.total_frames = len(self._values) // channels
+
+    def read_frames(self, n: int) -> np.ndarray:
+        """Up to n frames as [channels_out, k] float64 (normalized)."""
+        c = self.channels
+        if self._values is not None:
+            vals = self._values[self._vpos : self._vpos + n * c]
+            self._vpos += len(vals)
+        else:
+            raw = self._bytes.read(n * self.bytes_per_frame)
+            usable = len(raw) - (len(raw) % self.bytes_per_frame)
+            vals = unpack_pcm(raw[:usable], self.bit_depth, self.data_type, self.big_endian)
+        k = len(vals) // c
+        norm = normalize_pcm(np.asarray(vals[: k * c]), self.bit_depth, self.data_type).astype(np.float64)
+        frames = norm.reshape(k, c).T
+        if self.mono:
+            frames = frames.mean(axis=0, keepdims=True)
+        return frames
