@@ -1,0 +1,297 @@
+"""Streaming pipeline parity: ChunkResampler / stream.* vs the loop model."""
+
+import numpy as np
+import pytest
+
+import aukit_tpu as ak
+from aukit_tpu.config import CONFIG
+
+from tests import fixtures
+from tests.ref import codecs as refc
+from tests.ref.stream import stream_pcm_ref
+
+RNG = np.random.default_rng(123)
+
+
+def collect(it):
+    out = []
+    for chunk, pos in it:
+        out.append((np.asarray(chunk), pos))
+    return out
+
+
+# NOTE: rates above 48000 are excluded: the reference's lazy-read table hands
+# *consecutive* samples to sparse indices, so downsampling never decimates and
+# plays at the wrong speed (quirk Q18) — the framework implements true
+# decimation instead (see test_stream_pcm_downsample_fixed).
+@pytest.mark.parametrize("rate", [48000, 44100, 24000, 8000, 32000])
+@pytest.mark.parametrize("mode", ["linear", "none", "cubic"])
+def test_stream_pcm_parity(rate, mode):
+    old = CONFIG.default_interpolation
+    CONFIG.default_interpolation = mode
+    try:
+        n = int(rate * 2.35)  # ~2.35 s -> multiple chunks + partial tail
+        vals = (RNG.random(n) * 2 - 1).astype(np.float32).astype(np.float64)
+        raw = np.clip(np.round(vals * 32767), -32768, 32767).astype("<i2")
+        norm = np.where(raw < 0, raw / 32768.0, raw / 32767.0).astype(np.float32).astype(np.float64)
+        it, length = ak.stream.pcm(raw.tobytes(), 16, "signed", 1, rate)
+        got = collect(it)
+        ref = list(stream_pcm_ref(list(norm), 1, rate, mode=mode))
+        assert len(got) == len(ref), (len(got), len(ref))
+        assert abs(length - n / rate) < 1e-9
+        for (gc, gp), (rc, rp) in zip(got, ref):
+            assert gp == rp
+            assert gc.shape[1] == len(rc[0])
+            np.testing.assert_allclose(gc[0], np.array(rc[0], np.float32), atol=2e-4)
+    finally:
+        CONFIG.default_interpolation = old
+
+
+def test_stream_pcm_downsample_fixed():
+    """96 kHz -> 48 kHz decimates by 2 (reference quirk Q18 fixed)."""
+    import math
+
+    rate = 96000
+    n = rate * 2  # 2 s in, 1 s out per chunk -> 2 chunks
+    raw = RNG.integers(-20000, 20000, n).astype("<i2")
+    it, _ = ak.stream.pcm(raw.tobytes(), 16, "signed", 1, rate)
+    got = collect(it)
+    norm = np.where(raw < 0, raw / 32768.0, raw / 32767.0).astype(np.float64)
+    # per-chunk consumption M = 95999 (the last even index is never touched),
+    # so each chunk decimates from its own base — the replicated per-chunk
+    # phase reset produces one extra output overall
+    M = 95999
+    s = []
+    base = 0
+    for chunk, _ in got:
+        for j in range(chunk.shape[1]):
+            s.append(norm[base + 2 * j])
+        base += M
+    s = np.array(s)
+    assert len(s) == n // 2 + 1
+    alpha = 1.0 - math.exp(-(rate / 96000) * 2 * math.pi)
+    prev = np.concatenate([[0.0], s[:-1]])
+    out = prev + alpha * (s - prev)
+    exp = np.clip(out * np.where(out < 0, 128.0, 127.0), -128, 127)
+    flat = np.concatenate([c[0] for c, _ in got])
+    np.testing.assert_allclose(flat, exp.astype(np.float32), atol=2e-4)
+
+
+def test_stream_pcm_stereo_and_mono_mix():
+    rate = 32000
+    n = rate  # 1 s
+    vals = (RNG.random(n * 2) * 2 - 1) * 0.9
+    raw = np.clip(np.round(vals * 32767), -32768, 32767).astype("<i2")
+    norm = np.where(raw < 0, raw / 32768.0, raw / 32767.0).astype(np.float32).astype(np.float64)
+    for mono in (False, True):
+        it, _ = ak.stream.pcm(raw.tobytes(), 16, "signed", 2, rate, False, mono)
+        got = collect(it)
+        ref = list(stream_pcm_ref(list(norm), 2, rate, mono=mono))
+        assert len(got) == len(ref)
+        for (gc, gp), (rc, rp) in zip(got, ref):
+            assert gc.shape[0] == len(rc)
+            for c in range(gc.shape[0]):
+                np.testing.assert_allclose(gc[c], np.array(rc[c], np.float32), atol=2e-4)
+
+
+def test_stream_pcm_quirk_q9_reseed():
+    CONFIG.compat_quirks = True
+    try:
+        rate = 24000
+        vals = (RNG.random(rate * 2) * 2 - 1) * 0.5
+        raw = np.clip(np.round(vals * 32767), -32768, 32767).astype("<i2")
+        norm = np.where(raw < 0, raw / 32768.0, raw / 32767.0).astype(np.float32).astype(np.float64)
+        it, _ = ak.stream.pcm(raw.tobytes(), 16, "signed", 1, rate)
+        got = collect(it)
+        ref = list(stream_pcm_ref(list(norm), 1, rate, quirk_q9=True))
+        for (gc, _), (rc, _) in zip(got, ref):
+            np.testing.assert_allclose(gc[0], np.array(rc[0], np.float32), atol=2e-4)
+    finally:
+        CONFIG.compat_quirks = False
+
+
+def test_stream_pcm_function_source():
+    rate = 48000
+    raw = np.clip(RNG.integers(-1000, 1000, rate * 2), -32768, 32767).astype("<i2").tobytes()
+    chunks = [raw[i : i + 9973] for i in range(0, len(raw), 9973)]
+    feed = iter(chunks)
+    it, _ = ak.stream.pcm(lambda: next(feed, None), 16, "signed", 1, rate)
+    got = collect(it)
+    it2, _ = ak.stream.pcm(raw, 16, "signed", 1, rate)
+    whole = collect(it2)
+    assert len(got) == len(whole)
+    for (a, _), (b, _) in zip(got, whole):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_stream_dfpwm_mono_rate48k():
+    data = RNG.integers(0, 256, 6000 * 2 + 1234, dtype=np.uint8).tobytes()
+    it, length = ak.stream.dfpwm(data, 48000, 1)
+    got = collect(it)
+    assert abs(length - len(data) * 8 / 48000) < 1e-9
+    # 48k -> 48k, linear: x integer everywhere -> passthrough of decoded bytes
+    ref = refc.dfpwm_decode_ref(data)
+    flat = np.concatenate([c[0] for c, _ in got])
+    np.testing.assert_array_equal(flat, np.array(ref, np.float32))
+    # positions: bytes*8/rate
+    assert got[0][1] == 0.0
+    assert got[1][1] == 6000 * 8 / 48000
+
+
+def test_stream_dfpwm_resampled():
+    data = RNG.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+    it, _ = ak.stream.dfpwm(data, 24000, 1)
+    (chunk, pos), = collect(it)
+    dec = refc.dfpwm_decode_ref(data)
+    # per-block resample with 1-sample history (audio[0]=0 first block)
+    ext = [0.0] + [float(v) for v in dec]
+    out = []
+    from fractions import Fraction
+
+    for i in range(1, len(dec) * 2 + 1):
+        x = Fraction((i - 1), 2) + 1
+        if x.denominator == 1:
+            out.append(ext[int(x)])
+        else:
+            a, b = ext[int(x)], ext[min(int(x) + 1, len(ext) - 1)]
+            v = a + (b - a) * 0.5
+            out.append(max(-128.0, min(127.0, v)))
+    np.testing.assert_allclose(chunk[0], np.array(out, np.float32), atol=1e-4)
+
+
+def test_stream_g711():
+    data = bytes(RNG.integers(0, 256, 8000 * 2 + 777, dtype=np.uint8))
+    it, length = ak.stream.g711(data, True, 1, 8000)
+    got = collect(it)
+    assert abs(length - len(data) / 8000) < 1e-9
+    # output sample count: floor(n*6) per second-block
+    total = sum(c.shape[1] for c, _ in got)
+    assert total == 8000 * 6 + 8000 * 6 + 777 * 6
+    # spot-check first block against direct expand+resample
+    lut = refc.g711_ref(data[:8000], True, 1, denom=0x40)[0]
+    from aukit_tpu.stream.engine import lua_block_resample
+
+    ext = np.concatenate([np.zeros((1, 30)), lut[None, :]], axis=1)
+    exp = lua_block_resample(ext, 0, 8000, 8000, 48000, "linear", hist=30)
+    exp = np.clip(np.floor(exp), -128, 127)
+    np.testing.assert_array_equal(got[0][0], exp.astype(np.float32))
+
+
+def test_stream_adpcm_blocks():
+    payload = fixtures.ima_wav_blocks(RNG, 5, 256, 2)
+    it, length = ak.stream.adpcm(payload, 256, 2, 24000)
+    got = collect(it)
+    spb = (256 - 8) * 2 // 2
+    assert abs(length - len(payload) / 256 * spb / 24000) < 1e-9
+    total = sum(c.shape[1] for c, _ in got)
+    assert total == 5 * (spb * 2)  # ratio 2
+    assert got[0][0].shape[0] == 2
+
+
+def test_stream_msadpcm():
+    sig = np.stack([(np.sin(np.arange(8192) / 21) * 10000).astype(np.int64)] * 2)
+    payload = fixtures.ms_encode(sig, 256)
+    it, _ = ak.stream.msadpcm(payload, 256, 2, 24000)
+    got = collect(it)
+    assert got, "no chunks"
+    # block outputs are floor'd int8-scale values
+    allv = np.concatenate([c.reshape(-1) for c, _ in got])
+    assert np.all(allv == np.floor(allv))
+    assert allv.min() >= -128 and allv.max() <= 127
+    # mono mixdown fixed semantics: floor(mean)
+    it2, _ = ak.stream.msadpcm(payload, 256, 2, 24000, mono=True)
+    got2 = collect(it2)
+    assert got2[0][0].shape[0] == 1
+
+
+def test_stream_wav_dispatch_matches_direct():
+    sig = RNG.integers(-3000, 3000, (2, 44100))
+    w = fixtures.wav_pcm(sig, 44100, 16)
+    it, length = ak.stream.wav(w)
+    got = collect(it)
+    payload = sig.T.reshape(-1).astype("<i2").tobytes()
+    it2, _ = ak.stream.pcm(payload, 16, "signed", 2, 44100, False, False)
+    direct = collect(it2)
+    assert len(got) == len(direct)
+    for (a, ap), (b, bp) in zip(got, direct):
+        np.testing.assert_array_equal(a, b)
+        assert ap == bp
+
+
+def test_stream_flac():
+    n = 4096
+    vals = RNG.integers(-(1 << 14), 1 << 14, n).tolist()
+    frames = fixtures.flac_frame([{"type": "verbatim", "values": vals}], n, 0, 16)
+    data = fixtures.flac_stream_header(48000, 1, 16, n) + frames
+    it, length = ak.stream.flac(data)
+    got = collect(it)
+    assert abs(length - n / 48000) < 1e-9
+    total = sum(c.shape[1] for c, _ in got)
+    assert total == n  # 48k -> 48k
+    # values: x integer passthrough, then IIR lowpass, scale within int8 range
+    flat = np.concatenate([c[0] for c, _ in got])
+    assert flat.min() >= -128 and flat.max() <= 127
+
+
+def test_stream_qoa():
+    # NOTE: the reference's frame-size validity check requires 8 slack bytes
+    # beyond the frame, so a file ending exactly at the last frame drops it
+    # (quirk Q19, aukit.lua:1733/3270 — replicated). Pad 8 bytes to keep all.
+    data = fixtures.qoa_stream(RNG, 2, 48000, [5120, 3000]) + b"\x00" * 8
+    it, length = ak.stream.qoa(data)
+    got = collect(it)
+    assert abs(length - 8120 / 48000) < 1e-9
+    total = sum(c.shape[1] for c, _ in got)
+    assert total == 8120
+    ref, _, _ = refc.qoa_ref(data)
+    int8 = np.floor(ref / 256.0)
+    # IIR lowpass applied at 48k->48k: y_i = y_{i-1} + a*(x_i - y_{i-1})
+    import math
+
+    a = 1.0 - math.exp(-(48000 / 96000) * 2 * math.pi)
+    y = np.zeros(2)
+    exp = np.zeros_like(int8, dtype=np.float64)
+    for i in range(int8.shape[1]):
+        y = y + a * (int8[:, i] - y)
+        exp[:, i] = y
+    flat = np.concatenate([c for c, _ in got], axis=1)
+    np.testing.assert_allclose(flat, exp.astype(np.float32), atol=2e-3)
+
+
+def test_stream_mdfpwm():
+    left = bytes(RNG.integers(0, 256, 12000, dtype=np.uint8))
+    right = bytes(RNG.integers(0, 256, 12000, dtype=np.uint8))
+    f = fixtures.mdfpwm_file(left, right, 24000)
+    it, length = ak.stream.mdfpwm(f)
+    got = collect(it)
+    assert length == 2.0
+    total = sum(c.shape[1] for c, _ in got)
+    assert total == 96000
+    refl = refc.dfpwm_decode_ref(left)
+    flat = np.concatenate([c[0] for c, _ in got])
+    np.testing.assert_array_equal(flat, np.array(refl, np.float32))
+    assert got[1][1] == 1.0  # position in seconds (p/12000)
+
+
+def test_play_split_rule_and_backpressure():
+    # a 2.5-second chunk must be split into 48000-sample pieces
+    big = np.zeros((1, 120000), np.float32)
+    sink = ak.playback.BufferSink()
+    ak.play(iter([(big, 0.0)]), sink)
+    sizes = [c.shape[-1] for c in sink.chunks]
+    assert sizes == [48000, 48000, 24000]
+
+
+def test_player_pause_seek():
+    import time
+
+    chunks = [(np.full((1, 48000), float(i), np.float32), float(i)) for i in range(3)]
+    sink = ak.playback.BufferSink()
+    p = ak.player(iter(chunks), sink)
+    deadline = time.time() + 10
+    while time.time() < deadline and len(sink.samples()) < 3 * 48000:
+        time.sleep(0.01)
+    p.stop()
+    out = sink.samples()
+    assert len(out) == 3 * 48000
+    assert out[0] == 0 and out[-1] == 2
