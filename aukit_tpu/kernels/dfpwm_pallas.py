@@ -1,0 +1,263 @@
+"""DFPWM1a Pallas TPU kernels — the flagship batched-codec kernels (N1 in
+SURVEY.md §2.3, BASELINE.json north star).
+
+DFPWM is 1 bit/sample and strictly sequential in time, so the kernel keeps
+time sequential and vectorizes across lanes (independent streams):
+
+ - lanes are tiled [32, 128] — one int8-aligned vreg tile; a lane *group* of
+   4096 streams advances together, one VPU op per predictor step;
+ - the byte axis is tiled across a sequential grid dimension with the decoder
+   state held in VMEM scratch between grid steps (the standard Mosaic
+   carried-state pattern), so arbitrarily long streams never leave the chip;
+ - input layout is time-major ``u8[G, B, 32, 128]`` and output
+   ``i8[G, B*8, 32, 128]`` so every load/store is a full aligned tile. The
+   batched stream engine keeps buffers in this layout natively; a transposing
+   convenience wrapper from ``[lanes, bytes]`` is provided.
+
+Integer semantics identical to codecs/dfpwm.py (the lax.scan reference);
+parity is asserted in tests via interpret mode and on-device when available.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..codecs.dfpwm import PREC, PREC_HALF, STRENGTH_MAX, LOWPASS_NUM, DfpwmState
+
+SUB = 32  # sublanes per tile
+LANE = 128  # lanes per tile
+GROUP = SUB * LANE  # streams per lane group
+# bytes per grid step: the output block is TIME_TILE*8 rows of [32,128] int8
+# (TIME_TILE=128 -> 4 MB out + 0.5 MB in per buffer, fits 16 MB VMEM with
+# double buffering)
+TIME_TILE = 128
+
+
+def _decode_tile(byte, q, s, lb, pq, lp, out_rows):
+    """8 unrolled bit steps on one [SUB, LANE] int32 tile of lanes."""
+    for k in range(8):
+        bit = (byte >> k) & 1
+        target = jnp.where(bit == 1, 127, -128)
+        nq = q + ((s * (target - q) + PREC_HALF) >> PREC)
+        nq = jnp.where((nq == q) & (nq != target), nq + jnp.where(bit == 1, 1, -1), nq)
+        same = bit == lb
+        z = jnp.where(same, STRENGTH_MAX, 0)
+        s = jnp.where(s != z, s + jnp.where(same, 1, -1), s)
+        aj = jnp.where(bit != lb, (nq + pq + 1) >> 1, nq)
+        lp = lp + (((aj - lp) * LOWPASS_NUM + 0x80) >> 8)
+        out_rows.append(lp)
+        q = nq
+        pq = nq
+        lb = bit
+    return q, s, lb, pq, lp
+
+
+def _decode_kernel(nvalid_ref, bytes_ref, state_in_ref, out_ref, state_out_ref, st):
+    t = pl.program_id(1)
+    nvalid = nvalid_ref[0]  # true byte count (time padding must not advance state)
+
+    @pl.when(t == 0)
+    def _():
+        st[:] = state_in_ref[0]
+
+    def body(i, carry):
+        q, s, lb, pq, lp = carry
+        byte = bytes_ref[0, i].astype(jnp.int32)
+        rows = []
+        nq, ns, nlb, npq, nlp = _decode_tile(byte, q, s, lb, pq, lp, rows)
+        out_ref[0, pl.ds(i * 8, 8)] = jnp.stack(rows).astype(jnp.int8)
+        valid = (t * TIME_TILE + i) < nvalid
+        return (
+            jnp.where(valid, nq, q),
+            jnp.where(valid, ns, s),
+            jnp.where(valid, nlb, lb),
+            jnp.where(valid, npq, pq),
+            jnp.where(valid, nlp, lp),
+        )
+
+    init = (st[0], st[1], st[2], st[3], st[4])
+    q, s, lb, pq, lp = jax.lax.fori_loop(0, bytes_ref.shape[1], body, init)
+    st[0], st[1], st[2], st[3], st[4] = q, s, lb, pq, lp
+    state_out_ref[0] = jnp.stack([q, s, lb, pq, lp])
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def dfpwm_decode_grouped(bytes_gm: jnp.ndarray, state_gm: jnp.ndarray, n_valid=None, interpret: bool = False):
+    """Native-layout decode.
+
+    bytes_gm : uint8[G, B, 32, 128] (B a multiple of TIME_TILE)
+    state_gm : int32[G, 5, 32, 128]
+    n_valid  : int32[1] — true byte count (defaults to B)
+    returns  : (int8[G, B*8, 32, 128], int32[G, 5, 32, 128])
+    """
+    G, B = bytes_gm.shape[0], bytes_gm.shape[1]
+    if n_valid is None:
+        n_valid = jnp.full((1,), B, jnp.int32)
+    nt = B // TIME_TILE
+    grid = (G, nt)
+    return pl.pallas_call(
+        _decode_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TIME_TILE, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TIME_TILE * 8, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, B * 8, SUB, LANE), jnp.int8),
+            jax.ShapeDtypeStruct((G, 5, SUB, LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((5, SUB, LANE), jnp.int32)],
+        interpret=interpret,
+    )(n_valid, bytes_gm, state_gm)
+
+
+def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref, st):
+    t = pl.program_id(1)
+    nvalid = nvalid_ref[0]  # true byte count
+
+    @pl.when(t == 0)
+    def _():
+        st[:] = state_in_ref[0]
+
+    def body(i, carry):
+        q0, s0, lb0 = carry
+        q, s, lb = q0, s0, lb0
+        levels = levels_ref[0, pl.ds(i * 8, 8)].astype(jnp.int32)  # [8, SUB, LANE]
+        byte = jnp.zeros_like(q)
+        for k in range(8):
+            level = levels[k]
+            bit = ((level > q) | ((level == q) & (q == 127))).astype(jnp.int32)
+            target = jnp.where(bit == 1, 127, -128)
+            nq = q + ((s * (target - q) + PREC_HALF) >> PREC)
+            nq = jnp.where((nq == q) & (nq != target), nq + jnp.where(bit == 1, 1, -1), nq)
+            same = bit == lb
+            z = jnp.where(same, STRENGTH_MAX, 0)
+            s = jnp.where(s != z, s + jnp.where(same, 1, -1), s)
+            q = nq
+            lb = bit
+            byte = byte | (bit << k)
+        out_ref[0, i] = byte.astype(jnp.uint8)
+        valid = (t * TIME_TILE + i) < nvalid
+        return (
+            jnp.where(valid, q, q0),
+            jnp.where(valid, s, s0),
+            jnp.where(valid, lb, lb0),
+        )
+
+    init = (st[0], st[1], st[2])
+    q, s, lb = jax.lax.fori_loop(0, out_ref.shape[1], body, init)
+    st[0], st[1], st[2] = q, s, lb
+    state_out_ref[0] = jnp.stack([q, s, lb])
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def dfpwm_encode_grouped(levels_gm: jnp.ndarray, state_gm: jnp.ndarray, n_valid=None, interpret: bool = False):
+    """Native-layout encode.
+
+    levels_gm : int8/int32[G, N, 32, 128] sample levels (N multiple of 8*TIME_TILE)
+    state_gm  : int32[G, 3, 32, 128] (charge, strength, previous_bit)
+    n_valid   : int32[1] — true *byte* count (defaults to N//8)
+    returns   : (uint8[G, N//8, 32, 128], int32[G, 3, 32, 128])
+    """
+    G, N = levels_gm.shape[0], levels_gm.shape[1]
+    B = N // 8
+    if n_valid is None:
+        n_valid = jnp.full((1,), B, jnp.int32)
+    nt = B // TIME_TILE
+    return pl.pallas_call(
+        _encode_kernel,
+        grid=(G, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TIME_TILE * 8, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TIME_TILE, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, B, SUB, LANE), jnp.uint8),
+            jax.ShapeDtypeStruct((G, 3, SUB, LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((3, SUB, LANE), jnp.int32)],
+        interpret=interpret,
+    )(n_valid, levels_gm, state_gm)
+
+
+# -- layout helpers -----------------------------------------------------------------
+
+def lanes_to_groups(x: np.ndarray | jnp.ndarray, time_multiple: int):
+    """[L, T] -> (device array [G, Tp, 32, 128], (L, T) original dims).
+    Pads L to a multiple of GROUP and T to a multiple of time_multiple."""
+    L, T = x.shape
+    Lp = -(-L // GROUP) * GROUP
+    Tp = -(-T // time_multiple) * time_multiple
+    xp = jnp.asarray(x)
+    xp = jnp.pad(xp, ((0, Lp - L), (0, Tp - T)))
+    g = xp.reshape(Lp // GROUP, SUB, LANE, Tp)
+    return jnp.transpose(g, (0, 3, 1, 2)), (L, T)
+
+
+def groups_to_lanes(x: jnp.ndarray, L: int, T: int) -> jnp.ndarray:
+    """[G, Tp, 32, 128] -> [L, T]"""
+    g = jnp.transpose(x, (0, 2, 3, 1))
+    flat = g.reshape(-1, x.shape[1])
+    return flat[:L, :T]
+
+
+def state_to_groups(state: DfpwmState, fields: int = 5) -> jnp.ndarray:
+    arrs = [state.charge, state.strength, state.previous_bit, state.previous_charge, state.lowpass][:fields]
+    L = arrs[0].shape[0]
+    Lp = -(-L // GROUP) * GROUP
+    out = []
+    for a in arrs:
+        ap = jnp.pad(jnp.asarray(a, jnp.int32), (0, Lp - L))
+        out.append(ap.reshape(Lp // GROUP, SUB, LANE))
+    return jnp.stack(out, axis=1)  # [G, fields, 32, 128]
+
+
+def state_from_groups(gm: jnp.ndarray, L: int) -> DfpwmState:
+    flat = [gm[:, i].reshape(-1)[:L] for i in range(gm.shape[1])]
+    while len(flat) < 5:
+        flat.append(jnp.zeros_like(flat[0]))
+    return DfpwmState(*flat)
+
+
+def dfpwm_decode_pallas(bytes_u8, state: DfpwmState | None = None, interpret: bool = False):
+    """Convenience wrapper: uint8[L, B] -> (int32-compatible int8[L, B*8], state).
+    Pads/transposes into the native kernel layout."""
+    bytes_u8 = jnp.asarray(bytes_u8, jnp.uint8)
+    L, B = bytes_u8.shape
+    if state is None:
+        state = DfpwmState.zeros(L)
+    gm, _ = lanes_to_groups(bytes_u8, TIME_TILE)
+    sg = state_to_groups(state, 5)
+    out_gm, state_gm = dfpwm_decode_grouped(gm, sg, jnp.full((1,), B, jnp.int32), interpret)
+    out = groups_to_lanes(out_gm, L, B * 8)
+    return out, state_from_groups(state_gm, L)
+
+
+def dfpwm_encode_pallas(levels, state: DfpwmState | None = None, interpret: bool = False):
+    """Convenience wrapper: int[L, N] levels -> (uint8[L, N//8], state)."""
+    levels = jnp.asarray(levels, jnp.int32)
+    L, N = levels.shape
+    if state is None:
+        state = DfpwmState.zeros(L)
+    gm, _ = lanes_to_groups(levels, TIME_TILE * 8)
+    sg = state_to_groups(state, 3)
+    out_gm, state_gm = dfpwm_encode_grouped(gm, sg, jnp.full((1,), N // 8, jnp.int32), interpret)
+    out = groups_to_lanes(out_gm, L, N // 8)
+    st = state_from_groups(state_gm, L)
+    return out, DfpwmState(st.charge, st.strength, st.previous_bit, state.previous_charge, state.lowpass)

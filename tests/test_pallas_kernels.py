@@ -1,0 +1,58 @@
+"""Pallas kernel parity (interpret mode on CPU; compiled on TPU)."""
+
+import numpy as np
+import pytest
+import jax
+
+from aukit_tpu.codecs.dfpwm import DfpwmState, dfpwm_decode, dfpwm_encode
+from aukit_tpu.kernels import dfpwm_pallas as kp
+
+RNG = np.random.default_rng(99)
+
+INTERPRET = jax.default_backend() != "tpu"
+
+
+def test_pallas_decode_matches_scan():
+    L, B = 5, kp.TIME_TILE * 2 + 100  # force padding in both dims
+    data = RNG.integers(0, 256, (L, B), dtype=np.uint8)
+    got, gst = kp.dfpwm_decode_pallas(data, interpret=INTERPRET)
+    import jax.numpy as jnp
+
+    ref, rst = dfpwm_decode(jnp.asarray(data), DfpwmState.zeros(L))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref).astype(np.int8))
+    for f in ("charge", "strength", "previous_bit", "previous_charge", "lowpass"):
+        np.testing.assert_array_equal(np.asarray(getattr(gst, f)), np.asarray(getattr(rst, f)))
+
+
+def test_pallas_decode_state_continuity():
+    L, B = 3, kp.TIME_TILE
+    d1 = RNG.integers(0, 256, (L, B), dtype=np.uint8)
+    d2 = RNG.integers(0, 256, (L, B), dtype=np.uint8)
+    o1, st = kp.dfpwm_decode_pallas(d1, interpret=INTERPRET)
+    o2, _ = kp.dfpwm_decode_pallas(d2, st, interpret=INTERPRET)
+    whole, _ = kp.dfpwm_decode_pallas(np.concatenate([d1, d2], axis=1), interpret=INTERPRET)
+    np.testing.assert_array_equal(
+        np.concatenate([np.asarray(o1), np.asarray(o2)], axis=1), np.asarray(whole)
+    )
+
+
+def test_pallas_encode_matches_scan():
+    L, N = 4, kp.TIME_TILE * 8
+    levels = RNG.integers(-128, 128, (L, N)).astype(np.int32)
+    got, gst = kp.dfpwm_encode_pallas(levels, interpret=INTERPRET)
+    import jax.numpy as jnp
+
+    ref, rst = dfpwm_encode(jnp.asarray(levels), DfpwmState.zeros(L))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    for f in ("charge", "strength", "previous_bit"):
+        np.testing.assert_array_equal(np.asarray(getattr(gst, f)), np.asarray(getattr(rst, f)))
+
+
+def test_pallas_roundtrip():
+    L, N = 2, kp.TIME_TILE * 8
+    t = np.arange(N)
+    sig = np.stack([np.floor(np.sin(t / 40) * 60), np.floor(np.cos(t / 25) * 50)]).astype(np.int32)
+    enc, _ = kp.dfpwm_encode_pallas(sig, interpret=INTERPRET)
+    dec, _ = kp.dfpwm_decode_pallas(np.asarray(enc), interpret=INTERPRET)
+    err = (np.asarray(dec)[:, 2000:].astype(np.float64) - sig[:, 2000:])
+    assert np.sqrt((err**2).mean()) < 12.0
