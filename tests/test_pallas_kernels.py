@@ -49,10 +49,12 @@ def test_pallas_encode_matches_scan():
 
 
 def test_pallas_roundtrip():
-    L, N = 2, kp.TIME_TILE * 8
+    L, N = 2, kp.TIME_TILE * 8 * 4
     t = np.arange(N)
     sig = np.stack([np.floor(np.sin(t / 40) * 60), np.floor(np.cos(t / 25) * 50)]).astype(np.int32)
     enc, _ = kp.dfpwm_encode_pallas(sig, interpret=INTERPRET)
     dec, _ = kp.dfpwm_decode_pallas(np.asarray(enc), interpret=INTERPRET)
-    err = (np.asarray(dec)[:, 2000:].astype(np.float64) - sig[:, 2000:])
+    skip = 2000  # adaptation warmup
+    err = np.asarray(dec)[:, skip:].astype(np.float64) - sig[:, skip:]
+    assert err.size > 0
     assert np.sqrt((err**2).mean()) < 12.0
