@@ -1,0 +1,152 @@
+"""austream — streaming player CLI (reference austream.lua).
+
+Sources: local file, http(s) URL (chunked pull or preload), or '-' for stdin.
+The second positional argument is the reference's parameter mini-language:
+``key=value,...`` where bare identifiers evaluate to themselves (austream.lua:11
+uses a sandboxed load; here a small literal parser). Options set: type,
+bitDepth, dataType, channels, sampleRate, bigEndian, mono, volume,
+interpolation, streamData, ignoreHeader.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_params(params: str | None) -> dict:
+    """The austream key=value,... mini-language: numbers, true/false, and bare
+    identifiers-as-strings (matching the sandboxed `load` environment)."""
+    v: dict = {}
+    if not params:
+        return v
+    import re
+
+    cleaned = re.sub(r'[^\w,="\.]+', "", params)
+    for part in cleaned.split(","):
+        if not part or "=" not in part:
+            continue
+        key, val = part.split("=", 1)
+        val = val.strip('"')
+        if val == "true":
+            v[key] = True
+        elif val == "false":
+            v[key] = False
+        else:
+            try:
+                v[key] = int(val)
+            except ValueError:
+                try:
+                    v[key] = float(val)
+                except ValueError:
+                    v[key] = val
+    return v
+
+
+def open_source(path: str, stream_data: bool):
+    """Returns bytes or a chunk-pull callable (austream.lua:19-81)."""
+    if path.startswith(("http://", "https://")):
+        import urllib.request
+
+        handle = urllib.request.urlopen(path)
+        if handle.status != 200:
+            raise SystemExit(f"Could not connect to {path}: HTTP {handle.status}")
+        if stream_data:
+            def data():
+                d = handle.read(48000)
+                return d if d else None
+
+            return data
+        return handle.read()
+    if path == "-":
+        f = sys.stdin.buffer
+    else:
+        f = open(path, "rb")
+    if stream_data:
+        def data():
+            d = f.read(48000)
+            return d if d else None
+
+        return data
+    return f.read()
+
+
+def dispatch(path: str, data, v: dict, mono: bool):
+    import aukit_tpu as ak
+
+    t = v.get("type")
+    if isinstance(t, str):
+        t = t.lower()
+    p = path.lower()
+
+    def is_(name, *exts):
+        return t == name or any(p.endswith(e) for e in exts)
+
+    if is_("dfpwm", ".dfpwm"):
+        return ak.stream.dfpwm(data, v.get("sampleRate", 48000), v.get("channels", 1), mono)
+    if is_("mdfpwm", ".mdfpwm"):
+        return ak.stream.mdfpwm(data, mono)
+    if is_("wav", ".wav"):
+        return ak.stream.wav(data, mono, v.get("ignoreHeader", False))
+    if is_("aiff", ".aiff", ".aif"):
+        return ak.stream.aiff(data, mono, v.get("ignoreHeader", False))
+    if is_("au", ".au"):
+        return ak.stream.au(data, mono, v.get("ignoreHeader", False))
+    if is_("flac", ".flac"):
+        return ak.stream.flac(data, mono)
+    if is_("qoa", ".qoa"):
+        return ak.stream.qoa(data, mono)
+    if is_("pcm", ".pcm", ".raw"):
+        return ak.stream.pcm(
+            data, v.get("bitDepth", 8), v.get("dataType", "signed"), v.get("channels", 1),
+            v.get("sampleRate", 48000), v.get("bigEndian", False), mono,
+        )
+    raise SystemExit("Unknown file type. Make sure to add the right file extension to the path/URL.")
+
+
+def progress_bar(length: float):
+    import shutil
+
+    width = shutil.get_terminal_size().columns
+
+    def cb(pos: float):
+        pos = min(pos, 5999)
+        total = f"{int(length // 60):02d}:{int(length % 60):02d}" if length else "--:--"
+        p = pos / length if length else 0.0
+        bar_w = max(width - 14, 4)
+        filled = min(int(bar_w * p), bar_w)
+        bar = "=" * filled + "░" * (bar_w - filled)
+        sys.stdout.write(f"\r{int(pos // 60):02d}:{int(pos % 60):02d} {bar} {total}")
+        sys.stdout.flush()
+
+    return cb
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="austream", description="Stream audio (AUKit austream equivalent)")
+    ap.add_argument("path", help="file path, http(s) URL, or - for stdin")
+    ap.add_argument("params", nargs="?", help="key=value,... parameters (type, sampleRate, channels, ...)")
+    ap.add_argument("-o", "--out", help="output file for 48kHz signed 8-bit samples")
+    ap.add_argument("--speakers", type=int, default=1, help="number of output sinks (channels fan out)")
+    ap.add_argument("--realtime", action="store_true")
+    args = ap.parse_args(argv)
+
+    import aukit_tpu as ak
+    from aukit_tpu.config import CONFIG
+    from .auplay import make_sink
+
+    v = parse_params(args.params)
+    mono = bool(v.get("mono", args.speakers == 1))
+    if "interpolation" in v:
+        CONFIG.default_interpolation = v["interpolation"]
+    data = open_source(args.path, bool(v.get("streamData", False)))
+    it, length = dispatch(args.path, data, v, mono)
+    length = length or 0
+    print("Streaming...")
+    sinks = [make_sink(args.out if i == 0 else None, args.realtime) for i in range(args.speakers)]
+    ak.play(it, *sinks, progress=progress_bar(length), volume=v.get("volume"))
+    print()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,70 @@
+"""CLI programs: auplay / austream / auconvert end-to-end."""
+
+import os
+
+import numpy as np
+import pytest
+
+import aukit_tpu as ak
+from aukit_tpu.cli import auconvert, auplay, austream
+
+
+@pytest.fixture
+def wav_file(tmp_path):
+    a = ak.tone(440, 0.5, 0.7, "sine", channels=2, sample_rate=44100)
+    p = tmp_path / "t.wav"
+    p.write_bytes(a.wav(16))
+    return str(p)
+
+
+def test_auplay(wav_file, tmp_path):
+    out = str(tmp_path / "out.raw")
+    auplay.main([wav_file, "-o", out])
+    data = np.frombuffer(open(out, "rb").read(), np.int8)
+    assert len(data) == 24000  # 0.5 s @48k mono
+    assert np.abs(data.astype(np.int32)).max() > 50  # real audio got through
+
+
+def test_austream_params_and_dispatch(wav_file, tmp_path):
+    out = str(tmp_path / "s.raw")
+    austream.main([wav_file, "mono=true,volume=0.5", "-o", out])
+    assert os.path.getsize(out) > 20000
+    v = austream.parse_params("type=pcm,sampleRate=8000,channels=2,mono=true,volume=0.25")
+    assert v == {"type": "pcm", "sampleRate": 8000, "channels": 2, "mono": True, "volume": 0.25}
+
+
+def test_auconvert_simple(wav_file, tmp_path):
+    out = str(tmp_path / "o.dfpwm")
+    auconvert.main(["-i", wav_file, "-o", out, "-e", "mono", "-R", "48000"])
+    assert os.path.getsize(out) == 48000 * 0.5 // 8
+
+
+def test_auconvert_map_language(wav_file, tmp_path):
+    out = str(tmp_path / "m.wav")
+    auconvert.main(["-i", wav_file, "-o", out, "-m", "1&2=1", "-m", "1[,0]*2=2", "-B", "16"])
+    b = ak.wav(open(out, "rb").read())
+    assert b.channels == 2
+    assert b.duration == 1.0  # channel 2 = full slice repeated twice
+
+
+def test_auconvert_map_parser():
+    f, ch, rpn = auconvert.parse_map("1:2=2:1")
+    assert (f, ch) == (2, 1)
+    assert rpn == [{"file": 1, "channel": 2}]
+    # the reference's precedence table makes & bind tighter than + (the code
+    # contradicts its own doc comment; code is authority): 1+(2&3)
+    f, ch, rpn = auconvert.parse_map("1+2&3=1")
+    assert [t for t in rpn if isinstance(t, str)] == ["&", "+"]
+    f, ch, rpn = auconvert.parse_map("(1+2)*3=1")
+    assert rpn == [{"channel": 1}, {"channel": 2}, "+", 3, "*"]
+    with pytest.raises(SystemExit):
+        auconvert.parse_map("1(=1")
+    with pytest.raises(SystemExit):
+        auconvert.parse_map("hello")
+
+
+def test_auconvert_wav8_unsigned(wav_file, tmp_path):
+    out = str(tmp_path / "u8.wav")
+    auconvert.main(["-i", wav_file, "-o", out, "-B", "8"])
+    b = ak.wav(open(out, "rb").read())
+    assert b.info == {"dataType": "unsigned", "bitDepth": 8}
