@@ -40,19 +40,26 @@ def _resample_tables(n_in: int, in_rate: int, out_rate: int):
     return n_out, ffx.astype(np.int32), frac
 
 
-def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000):
+def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000, fir_state=None):
     """float[..., T] @in_rate -> int8[..., T_out] @out_rate: linear resample +
-    FIR smoothing (alpha per aukit.lua:2365) + int8 scale/clamp."""
+    FIR smoothing (alpha per aukit.lua:2365) + int8 scale/clamp.
+
+    ``fir_state``: optional float[...] previous raw sample carried across
+    chunks; when given, returns (out, new_fir_state)."""
     n_in = samples_f32.shape[-1]
     n_out, ffx, frac = _resample_tables(n_in, in_rate, out_rate)
     p1 = jnp.take(samples_f32, jnp.asarray(ffx), axis=-1)
     p2 = jnp.take(samples_f32, jnp.asarray(np.minimum(ffx + 1, n_in - 1)), axis=-1)
     s = p1 + (p2 - p1) * jnp.asarray(frac)
     alpha = jnp.float32(1.0 - np.exp(-(in_rate / (out_rate * 2)) * 2.0 * np.pi))
-    prev = jnp.concatenate([jnp.zeros_like(s[..., :1]), s[..., :-1]], axis=-1)
+    first = jnp.zeros_like(s[..., :1]) if fir_state is None else fir_state[..., None]
+    prev = jnp.concatenate([first, s[..., :-1]], axis=-1)
     out = prev + alpha * (s - prev)
     out = out * jnp.where(out < 0, 128.0, 127.0)
-    return jnp.clip(out, -128, 127).astype(jnp.int8)
+    out = jnp.clip(out, -128, 127).astype(jnp.int8)
+    if fir_state is None:
+        return out
+    return out, s[..., -1]
 
 
 def decode_pipeline_scan(bytes_u8: jnp.ndarray, state: DfpwmState, in_rate: int = 48000,
