@@ -300,81 +300,128 @@ def restore_lpc_batch(values: np.ndarray, coefs: np.ndarray, shifts: np.ndarray,
     return out
 
 
-def decode_flac(data: bytes, head: bool = False):
-    """Full decode -> (float32[C, N] in [-0.5, 0.5), sample_rate, meta, depth)."""
-    sample_rate, channels, depth, num_samples, meta, pos = parse_flac_header(data)
-    if head:
-        return np.zeros((channels, 0), np.float32), sample_rate, meta, depth
+def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_native: bool | None = None,
+                     strict: bool = True):
+    """Parse every frame -> flat arrays:
+    (frame_meta int32[F,2] (block_size, chan_asgn),
+     sub_meta {order, shift, wasted, block} int64[S],
+     coefs int64[S,32], values_flat int64[sum(block)]).
+
+    Uses the native C++ parser (native/flacbits.cpp) when available, else the
+    pure-Python BitReader path; both are bit-identical.
+    """
+    if use_native is None:
+        from ..native import flacbits as _nb
+
+        use_native = _nb.available()
+    if use_native:
+        from ..native import flacbits as _nb
+
+        return _nb.parse_frames(data, pos, channels, depth, strict)
     inp = BitReader(data, pos)
-    frames = []  # (block_size, chan_asgn, [subframes])
+    fbs, fca = [], []
+    orders, shifts, wasted, blocks = [], [], [], []
+    coefs_rows = []
+    values = []
     while True:
-        hdr = decode_frame_header(inp)
-        if hdr is None:
+        try:
+            hdr = decode_frame_header(inp)
+            if hdr is None:
+                break
+            block_size, chan_asgn = hdr
+            subs = []
+            if 0 <= chan_asgn <= 7:
+                for _ in range(channels):
+                    subs.append(decode_subframe(inp, depth, block_size))
+            elif 8 <= chan_asgn <= 10:
+                subs.append(decode_subframe(inp, depth + (1 if chan_asgn == 9 else 0), block_size))
+                subs.append(decode_subframe(inp, depth + (0 if chan_asgn == 9 else 1), block_size))
+            else:
+                raise FlacError("Reserved channel assignment")
+        except FlacError:
+            if strict:
+                raise
             break
-        block_size, chan_asgn = hdr
-        subs = []
-        if 0 <= chan_asgn <= 7:
-            for _ in range(channels):
-                subs.append(decode_subframe(inp, depth, block_size))
-        elif 8 <= chan_asgn <= 10:
-            subs.append(decode_subframe(inp, depth + (1 if chan_asgn == 9 else 0), block_size))
-            subs.append(decode_subframe(inp, depth + (0 if chan_asgn == 9 else 1), block_size))
-        else:
-            raise FlacError("Reserved channel assignment")
         inp.align_to_byte()
         inp.read_uint(16)  # CRC16 footer, ignored (may hit clean EOF)
-        frames.append((block_size, chan_asgn, subs))
+        fbs.append(block_size)
+        fca.append(chan_asgn)
+        for s in subs:
+            orders.append(s["order"])
+            shifts.append(s["shift"])
+            wasted.append(s["wasted"])
+            blocks.append(block_size)
+            row = np.zeros(32, np.int64)
+            if s["order"]:
+                row[: s["order"]] = s["coefs"]
+            coefs_rows.append(row)
+            values.extend(s["values"])
+    frame_meta = np.stack([np.array(fbs, np.int32), np.array(fca, np.int32)], axis=1) if fbs else np.zeros((0, 2), np.int32)
+    sub = {
+        "order": np.array(orders, np.int64),
+        "shift": np.array(shifts, np.int64),
+        "wasted": np.array(wasted, np.int64),
+        "block": np.array(blocks, np.int64),
+    }
+    coefs = np.stack(coefs_rows) if coefs_rows else np.zeros((0, 32), np.int64)
+    return frame_meta, sub, coefs, np.array(values, np.int64)
 
-    if not frames:
-        return np.zeros((channels, 0), np.float32), sample_rate, meta, depth
 
-    # -- batched LPC restore across all subframes --------------------------------
-    all_subs = [s for _, _, subs in frames for s in subs]
-    L = len(all_subs)
-    T = max(len(s["values"]) for s in all_subs)
-    vals = np.zeros((L, T), np.int64)
-    coefs = np.zeros((L, 32), np.int64)
-    shifts = np.zeros(L, np.int64)
-    orders = np.zeros(L, np.int64)
-    for i, s in enumerate(all_subs):
-        vals[i, : len(s["values"])] = s["values"]
-        if s["order"]:
-            coefs[i, : s["order"]] = s["coefs"]
-        shifts[i] = s["shift"]
-        orders[i] = s["order"]
-    restored = restore_lpc_batch(vals, coefs, shifts, orders)
-    # wasted-bits shift (aukit.lua:468)
-    wasted = np.array([s["wasted"] for s in all_subs], np.int64)
-    restored <<= wasted[:, None]
-
-    # -- per-frame decorrelation + normalize -----------------------------------
+def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, depth: int):
+    """Batched LPC restore across all subframes, then per-frame stereo
+    decorrelation + sign wrap. Returns int64[C, N] raw samples."""
+    S = len(sub["order"])
+    if S == 0:
+        return np.zeros((channels, 0), np.int64)
+    T = int(sub["block"].max())
+    vals = np.zeros((S, T), np.int64)
+    offs = np.concatenate([[0], np.cumsum(sub["block"])])
+    for i in range(S):
+        vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
+    restored = restore_lpc_batch(vals, coefs, sub["shift"], sub["order"])
+    restored <<= sub["wasted"][:, None]
     out_chunks = [[] for _ in range(channels)]
-    idx = 0
     half = 1 << (depth - 1)
     full = 1 << depth
-    for block_size, chan_asgn, subs in frames:
-        rows = restored[idx : idx + len(subs), :block_size]
-        idx += len(subs)
-        if 0 <= chan_asgn <= 7:
-            chans = [rows[c] for c in range(len(subs))]
-        else:
-            a, b = rows[0].copy(), rows[1].copy()
-            if chan_asgn == 8:  # left/side
-                b = a - b
-            elif chan_asgn == 9:  # side/right
-                a = a + b
-            else:  # mid/side
-                side = b
-                right = a - (side >> 1)
-                b = right
-                a = right + side
-            chans = [a, b]
+    idx = 0
+    for block_size, chan_asgn in frame_meta:
+        block_size = int(block_size)
+        nsubs = channels if chan_asgn <= 7 else 2
+        rows = restored[idx : idx + nsubs, :block_size]
+        idx += nsubs
+        chans = decorrelate(rows, int(chan_asgn))
         for c in range(channels):
             s = chans[c] if c < len(chans) else np.zeros(block_size, np.int64)
             s = np.where(s >= half, s - full, s)
             out_chunks[c].append(s)
-    arr = np.stack([np.concatenate(ch) for ch in out_chunks])
-    norm = (arr.astype(np.float64) / full).astype(np.float32)
+    return np.stack([np.concatenate(ch) for ch in out_chunks])
+
+
+def decorrelate(rows: np.ndarray, chan_asgn: int):
+    """Stereo decorrelation (aukit.lua:479-502)."""
+    if 0 <= chan_asgn <= 7:
+        return [rows[c] for c in range(rows.shape[0])]
+    a, b = rows[0].copy(), rows[1].copy()
+    if chan_asgn == 8:  # left/side
+        b = a - b
+    elif chan_asgn == 9:  # side/right
+        a = a + b
+    else:  # mid/side
+        side = b
+        right = a - (side >> 1)
+        b = right
+        a = right + side
+    return [a, b]
+
+
+def decode_flac(data: bytes, head: bool = False, use_native: bool | None = None):
+    """Full decode -> (float32[C, N] in [-0.5, 0.5), sample_rate, meta, depth)."""
+    sample_rate, channels, depth, num_samples, meta, pos = parse_flac_header(data)
+    if head:
+        return np.zeros((channels, 0), np.float32), sample_rate, meta, depth
+    frame_meta, sub, coefs, values = parse_all_frames(data, pos, channels, depth, use_native)
+    arr = restore_and_decorrelate(frame_meta, sub, coefs, values, channels, depth)
+    norm = (arr.astype(np.float64) / (1 << depth)).astype(np.float32)
     return norm, sample_rate, meta, depth
 
 

@@ -1,0 +1,120 @@
+"""ctypes bindings for the native FLAC bitstream parser (native/flacbits.cpp).
+
+Builds the shared object on first use with g++ (cached next to the source);
+``available()`` is False when no compiler/source is present and callers fall
+back to the pure-Python BitReader path in codecs/flac.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", "flacbits.cpp")
+_SO = os.path.join(os.path.dirname(_SRC), "flacbits.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+class _ParseResult(ctypes.Structure):
+    _fields_ = [
+        ("frame_block_size", ctypes.POINTER(ctypes.c_int32)),
+        ("frame_chan_asgn", ctypes.POINTER(ctypes.c_int32)),
+        ("n_frames", ctypes.c_int64),
+        ("sub_order", ctypes.POINTER(ctypes.c_int32)),
+        ("sub_shift", ctypes.POINTER(ctypes.c_int32)),
+        ("sub_wasted", ctypes.POINTER(ctypes.c_int32)),
+        ("sub_blk", ctypes.POINTER(ctypes.c_int32)),
+        ("coefs", ctypes.POINTER(ctypes.c_int32)),
+        ("n_subs", ctypes.c_int64),
+        ("values", ctypes.POINTER(ctypes.c_int32)),
+        ("n_values", ctypes.c_int64),
+        ("error", ctypes.c_int32),
+    ]
+
+
+def _build() -> str | None:
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return _SO
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _SO
+    except Exception:
+        return None
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SRC):
+            return None
+        so = _build()
+        if so is None:
+            return None
+        lib = ctypes.CDLL(so)
+        lib.flac_parse.restype = ctypes.POINTER(_ParseResult)
+        lib.flac_parse.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.flac_free.argtypes = [ctypes.POINTER(_ParseResult)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+_ERRORS = {
+    1: "Reserved residual coding method",
+    2: "Block size not divisible by number of Rice partitions",
+    3: "Reserved subframe type",
+    4: "Sync code expected",
+    5: "Reserved block size",
+    6: "Reserved channel assignment",
+    7: "unexpected end of FLAC stream",
+}
+
+
+def parse_frames(data: bytes, pos: int, channels: int, depth: int, strict: bool = True):
+    """Parse all frames natively. Returns
+    (frame_meta [F,2] int32 (block_size, chan_asgn),
+     sub_meta dict of int64 arrays (order, shift, wasted, block),
+     coefs [S,32] int64, values_flat int64[n]) — dtypes match the Python path.
+    Raises FlacError on malformed streams (same conditions as the reference);
+    with strict=False, returns the frames completed before the error (the
+    stream path's lenient behavior, aukit.lua:3158)."""
+    from ..codecs.flac import FlacError
+
+    lib = _load()
+    assert lib is not None
+    res = lib.flac_parse(data, len(data), pos, channels, depth)
+    try:
+        r = res.contents
+        if r.error != 0 and strict:
+            raise FlacError(_ERRORS.get(int(r.error), f"FLAC parse error {int(r.error)}"))
+        F, S, NV = int(r.n_frames), int(r.n_subs), int(r.n_values)
+        fbs = np.ctypeslib.as_array(r.frame_block_size, (max(F, 1),))[:F].copy()
+        fca = np.ctypeslib.as_array(r.frame_chan_asgn, (max(F, 1),))[:F].copy()
+        sub = {
+            "order": np.ctypeslib.as_array(r.sub_order, (max(S, 1),))[:S].astype(np.int64),
+            "shift": np.ctypeslib.as_array(r.sub_shift, (max(S, 1),))[:S].astype(np.int64),
+            "wasted": np.ctypeslib.as_array(r.sub_wasted, (max(S, 1),))[:S].astype(np.int64),
+            "block": np.ctypeslib.as_array(r.sub_blk, (max(S, 1),))[:S].astype(np.int64),
+        }
+        coefs = np.ctypeslib.as_array(r.coefs, (max(S, 1) * 32,))[: S * 32].astype(np.int64).reshape(S, 32)
+        values = np.ctypeslib.as_array(r.values, (max(NV, 1),))[:NV].astype(np.int64)
+        return np.stack([fbs, fca], axis=1) if F else np.zeros((0, 2), np.int32), sub, coefs, values
+    finally:
+        lib.flac_free(res)

@@ -637,64 +637,22 @@ def flac(data, mono: bool = False):
     sample_rate, channels, depth, num_samples, meta, fpos = flac_codec.parse_flac_header(data)
     mode = get_interpolation(None)
     alpha = 1.0 - math.exp(-(sample_rate / (CONFIG.output_rate * 2)) * 2.0 * math.pi)
-    inp = flac_codec.BitReader(data, fpos)
     full = 1 << depth
-    half = 1 << (depth - 1)
 
     def frames():
-        while True:
-            try:
-                hdr = flac_codec.decode_frame_header(inp)
-            except flac_codec.FlacError:
-                return
-            if hdr is None:
-                return
-            block_size, chan_asgn = hdr
-            subs = []
-            try:
-                if 0 <= chan_asgn <= 7:
-                    for _ in range(channels):
-                        subs.append(flac_codec.decode_subframe(inp, depth, block_size))
-                elif 8 <= chan_asgn <= 10:
-                    subs.append(flac_codec.decode_subframe(inp, depth + (1 if chan_asgn == 9 else 0), block_size))
-                    subs.append(flac_codec.decode_subframe(inp, depth + (0 if chan_asgn == 9 else 1), block_size))
-                else:
-                    return
-            except flac_codec.FlacError:
-                return
-            inp.align_to_byte()
-            inp.read_uint(16)
-            # restore + decorrelate this frame (lanes = subframes)
-            L = len(subs)
-            T = block_size
-            vals = np.zeros((L, T), np.int64)
-            coefs = np.zeros((L, 32), np.int64)
-            shifts = np.zeros(L, np.int64)
-            orders = np.zeros(L, np.int64)
-            for i, s in enumerate(subs):
-                vals[i, : len(s["values"])] = s["values"]
-                if s["order"]:
-                    coefs[i, : s["order"]] = s["coefs"]
-                shifts[i] = s["shift"]
-                orders[i] = s["order"]
-            restored = flac_codec.restore_lpc_batch(vals, coefs, shifts, orders)
-            restored <<= np.array([s["wasted"] for s in subs], np.int64)[:, None]
-            if 0 <= chan_asgn <= 7:
-                chans = [restored[c] for c in range(L)]
-            else:
-                a, b = restored[0].copy(), restored[1].copy()
-                if chan_asgn == 8:
-                    b = a - b
-                elif chan_asgn == 9:
-                    a = a + b
-                else:
-                    side = b
-                    right = a - (side >> 1)
-                    b = right
-                    a = right + side
-                chans = [a, b]
-            out = np.stack([np.where(c >= half, c - full, c) for c in chans])
-            yield (out.astype(np.float64) / full)  # [C, block] in [-0.5, 0.5)
+        # lenient whole-buffer parse (native C++ parser when available) +
+        # batched LPC restore across ALL subframes, then yield per frame
+        frame_meta, sub, coefs, values = flac_codec.parse_all_frames(
+            data, fpos, channels, depth, strict=False
+        )
+        if len(frame_meta) == 0:
+            return
+        raw = flac_codec.restore_and_decorrelate(frame_meta, sub, coefs, values, channels, depth)
+        off = 0
+        for block_size, _ca in frame_meta:
+            block = raw[:, off : off + int(block_size)]
+            off += int(block_size)
+            yield block.astype(np.float64) / full  # [C, block] in [-0.5, 0.5)
 
     frame_iter = frames()
     last = np.zeros((channels, 2), np.float64)

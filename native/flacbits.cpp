@@ -1,0 +1,332 @@
+// FLAC frame/bitstream parser — native host component of aukit-tpu.
+//
+// Role: the variable-length, data-dependent part of FLAC decode (frame
+// headers, subframe headers, Rice-partitioned residuals) is inherently
+// sequential and byte-oriented, so it runs on the host; this C++ core replaces
+// the pure-Python BitReader on the hot path (SURVEY.md §2.3: native runtime
+// components). The arithmetic-heavy LPC restore stays on-device, batched
+// across subframes.
+//
+// Semantics are bit-identical to aukit_tpu/codecs/flac.py (itself matching the
+// reference decoder embedded in aukit.lua:311-619): CRC8/CRC16 read and
+// ignored, signed 5-bit LPC shift, wasted-bits unary, clean-EOF detection on
+// the first frame byte, hard error on mid-frame truncation.
+//
+// C ABI for ctypes. All outputs are malloc'd by flac_parse and released by
+// flac_free.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitReader {
+    const uint8_t* data;
+    size_t len;
+    size_t pos;
+    uint64_t buf = 0;
+    int n = 0;
+    bool error = false;
+
+    BitReader(const uint8_t* d, size_t l, size_t p) : data(d), len(l), pos(p) {}
+
+    bool fill(int bits) {
+        while (n < bits) {
+            if (pos >= len) return false;
+            buf = (buf << 8) | data[pos++];
+            n += 8;
+        }
+        return true;
+    }
+
+    // returns value, sets error on EOF
+    uint32_t u(int bits) {
+        if (bits == 0) return 0;
+        if (!fill(bits)) { error = true; return 0; }
+        n -= bits;
+        uint32_t r = (uint32_t)((buf >> n) & ((((uint64_t)1) << bits) - 1));
+        buf &= (((uint64_t)1) << n) - 1;
+        return r;
+    }
+
+    int32_t s(int bits) {
+        uint32_t v = u(bits);
+        if (bits && (v >= (1u << (bits - 1)))) return (int32_t)v - (int32_t)(1u << bits);
+        return (int32_t)v;
+    }
+
+    int64_t unary() {
+        int64_t q = 0;
+        for (;;) {
+            if (n == 0) {
+                if (pos >= len) { error = true; return 0; }
+                buf = data[pos++];
+                n = 8;
+            }
+            if (buf == 0) { q += n; n = 0; continue; }
+            int top = 64 - __builtin_clzll(buf);  // bit_length
+            q += n - top;
+            n = top - 1;
+            buf &= (((uint64_t)1) << n) - 1;
+            return q;
+        }
+    }
+
+    int32_t rice(int param) {
+        uint64_t val = ((uint64_t)unary() << param) | (uint64_t)u(param);
+        if (val & 1) return -(int32_t)(val >> 1) - 1;
+        return (int32_t)(val >> 1);
+    }
+
+    void align() {
+        int drop = n % 8;
+        n -= drop;
+        buf &= (((uint64_t)1) << n) - 1;
+    }
+
+    bool at_eof_byte() const { return pos >= len && n < 8; }
+};
+
+struct SubMeta {
+    int32_t order = 0, shift = 0, wasted = 0, block_size = 0;
+    bool is_fixed = false;
+    int32_t coef_buf[32] = {0};
+};
+
+}  // namespace
+
+extern "C" {
+
+struct FlacParseResult {
+    // per frame
+    int32_t* frame_block_size;  // [n_frames]
+    int32_t* frame_chan_asgn;   // [n_frames]
+    int64_t n_frames;
+    // per subframe (frames x channels, in stream order)
+    int32_t* sub_order;   // [n_subs]
+    int32_t* sub_shift;   // [n_subs]
+    int32_t* sub_wasted;  // [n_subs]
+    int32_t* sub_blk;     // [n_subs]
+    int32_t* coefs;       // [n_subs * 32]
+    int64_t n_subs;
+    // concatenated pre-restore values, one block of sub_blk[i] per subframe
+    int32_t* values;
+    int64_t n_values;
+    int32_t error;  // 0 ok; 1 reserved residual method; 2 partition mismatch;
+                    // 3 reserved subframe type; 4 sync; 5 reserved block size;
+                    // 6 reserved channel asgn; 7 truncated stream
+};
+
+void flac_free(FlacParseResult* r) {
+    if (!r) return;
+    free(r->frame_block_size);
+    free(r->frame_chan_asgn);
+    free(r->sub_order);
+    free(r->sub_shift);
+    free(r->sub_wasted);
+    free(r->sub_blk);
+    free(r->coefs);
+    free(r->values);
+    free(r);
+}
+
+static bool decode_residuals(BitReader& br, int warmup, int block_size,
+                             int32_t* out, int32_t* err) {
+    uint32_t method = br.u(2);
+    if (br.error) { *err = 7; return false; }
+    if (method >= 2) { *err = 1; return false; }
+    int param_bits = method == 0 ? 4 : 5;
+    uint32_t escape = method == 0 ? 0xF : 0x1F;
+    uint32_t porder = br.u(4);
+    int num_partitions = 1 << porder;
+    if (block_size % num_partitions != 0) { *err = 2; return false; }
+    int psize = block_size / num_partitions;
+    for (int i = 0; i < num_partitions; i++) {
+        int start = i * psize + (i == 0 ? warmup : 0);
+        int end = (i + 1) * psize;
+        uint32_t param = br.u(param_bits);
+        if (br.error) { *err = 7; return false; }
+        if (param < escape) {
+            for (int j = start; j < end; j++) out[j] = br.rice((int)param);
+        } else {
+            uint32_t nbits = br.u(5);
+            for (int j = start; j < end; j++) out[j] = br.s((int)nbits);
+        }
+        if (br.error) { *err = 7; return false; }
+    }
+    return true;
+}
+
+static const int FIXED_COEFS[5][4] = {
+    {0, 0, 0, 0}, {1, 0, 0, 0}, {2, -1, 0, 0}, {3, -3, 1, 0}, {4, -6, 4, -1},
+};
+
+static bool decode_subframe(BitReader& br, int depth, int block_size,
+                            std::vector<int32_t>& values, SubMeta& m, int32_t* err) {
+    br.u(1);
+    uint32_t stype = br.u(6);
+    uint32_t shift_w = br.u(1);
+    if (br.error) { *err = 7; return false; }
+    int wasted = 0;
+    if (shift_w == 1) {
+        wasted = 1;
+        while (br.u(1) == 0) {
+            if (br.error) { *err = 7; return false; }
+            wasted++;
+        }
+    }
+    int d = depth - wasted;
+    m.wasted = wasted;
+    m.order = 0;
+    m.shift = 0;
+    m.block_size = block_size;
+    size_t base = values.size();
+    values.resize(base + block_size, 0);
+    int32_t* out = values.data() + base;
+    if (stype == 0) {
+        int32_t c = br.s(d);
+        if (br.error) { *err = 7; return false; }
+        for (int i = 0; i < block_size; i++) out[i] = c;
+    } else if (stype == 1) {
+        for (int i = 0; i < block_size; i++) out[i] = br.s(d);
+        if (br.error) { *err = 7; return false; }
+    } else if (stype >= 8 && stype <= 12) {
+        int order = (int)stype - 8;
+        m.order = order;
+        m.is_fixed = true;
+        for (int i = 0; i < order; i++) out[i] = br.s(d);
+        if (!decode_residuals(br, order, block_size, out, err)) return false;
+    } else if (stype >= 32 && stype <= 63) {
+        int order = (int)stype - 31;
+        m.order = order;
+        for (int i = 0; i < order; i++) out[i] = br.s(d);
+        int precision = (int)br.u(4) + 1;
+        m.shift = br.s(5);
+        for (int i = 0; i < order; i++) m.coef_buf[i] = br.s(precision);
+        if (br.error) { *err = 7; return false; }
+        if (!decode_residuals(br, order, block_size, out, err)) return false;
+    } else {
+        *err = 3;
+        return false;
+    }
+    if (br.error) { *err = 7; return false; }
+    return true;
+}
+
+FlacParseResult* flac_parse(const uint8_t* data, int64_t len, int64_t start_pos,
+                            int32_t channels, int32_t depth) {
+    auto* r = (FlacParseResult*)calloc(1, sizeof(FlacParseResult));
+    BitReader br(data, (size_t)len, (size_t)start_pos);
+    std::vector<int32_t> fbs, fca, so, ss, sw, sb, coefs;
+    std::vector<int32_t> values;
+    for (;;) {
+        // frame header (aukit.lua:510-553)
+        if (!br.fill(8)) break;  // clean EOF
+        uint32_t b0 = br.u(8);
+        uint32_t sync = b0 * 64 + br.u(6);
+        if (br.error) { r->error = 7; break; }
+        if (sync != 0x3FFE) { r->error = 4; break; }
+        br.u(2);
+        uint32_t bsc = br.u(4);
+        uint32_t src = br.u(4);
+        uint32_t ca = br.u(4);
+        br.u(4);
+        uint32_t tmp = br.u(8);
+        if (br.error) { r->error = 7; break; }
+        int t2 = -1;
+        for (int i = 7; i >= 0; i--) {
+            if (!(tmp & (1u << i))) break;
+            t2++;
+        }
+        for (int i = 0; i < t2; i++) br.u(8);
+        int block_size;
+        if (bsc == 1) block_size = 192;
+        else if (bsc >= 2 && bsc <= 5) block_size = 576 << (bsc - 2);
+        else if (bsc == 6) block_size = (int)br.u(8) + 1;
+        else if (bsc == 7) block_size = (int)br.u(16) + 1;
+        else if (bsc >= 8 && bsc <= 15) block_size = 256 << (bsc - 8);
+        else { r->error = 5; break; }
+        if (src == 12) br.u(8);
+        else if (src == 13 || src == 14) br.u(16);
+        br.u(8);  // CRC8 ignored
+        if (br.error) { r->error = 7; break; }
+
+        int nsubs;
+        int sub_depths[8];
+        if (ca <= 7) {
+            nsubs = channels;
+            for (int i = 0; i < nsubs; i++) sub_depths[i] = depth;
+        } else if (ca <= 10) {
+            nsubs = 2;
+            sub_depths[0] = depth + (ca == 9 ? 1 : 0);
+            sub_depths[1] = depth + (ca == 9 ? 0 : 1);
+        } else {
+            r->error = 6;
+            break;
+        }
+        bool ok = true;
+        for (int i = 0; i < nsubs && ok; i++) {
+            SubMeta m;
+            ok = decode_subframe(br, sub_depths[i], block_size, values, m, &r->error);
+            if (ok) {
+                so.push_back(m.order);
+                ss.push_back(m.shift);
+                sw.push_back(m.wasted);
+                sb.push_back(m.block_size);
+                for (int k = 0; k < 32; k++)
+                    coefs.push_back(k < m.order
+                                        ? (m.is_fixed ? FIXED_COEFS[m.order][k] : m.coef_buf[k])
+                                        : 0);
+            }
+        }
+        if (!ok) break;
+        br.align();
+        br.u(16);  // CRC16, may hit clean EOF
+        br.error = false;
+        fbs.push_back(block_size);
+        fca.push_back((int32_t)ca);
+    }
+    // partial frame state discarded: trim subframe arrays to complete frames
+    size_t complete_subs = 0;
+    {
+        size_t vi = 0;
+        std::vector<int32_t> keep_vals;
+        size_t si = 0;
+        for (size_t f = 0; f < fbs.size(); f++) {
+            int nsubs = (fca[f] <= 7) ? channels : 2;
+            for (int c = 0; c < nsubs; c++, si++) {
+                keep_vals.insert(keep_vals.end(), values.begin() + vi, values.begin() + vi + sb[si]);
+                vi += sb[si];
+            }
+        }
+        complete_subs = si;
+        values.swap(keep_vals);
+    }
+    so.resize(complete_subs);
+    ss.resize(complete_subs);
+    sw.resize(complete_subs);
+    sb.resize(complete_subs);
+    coefs.resize(complete_subs * 32);
+
+    auto dup = [](const std::vector<int32_t>& v) {
+        auto* p = (int32_t*)malloc(v.size() * sizeof(int32_t) + 1);
+        memcpy(p, v.data(), v.size() * sizeof(int32_t));
+        return p;
+    };
+    r->frame_block_size = dup(fbs);
+    r->frame_chan_asgn = dup(fca);
+    r->n_frames = (int64_t)fbs.size();
+    r->sub_order = dup(so);
+    r->sub_shift = dup(ss);
+    r->sub_wasted = dup(sw);
+    r->sub_blk = dup(sb);
+    r->coefs = dup(coefs);
+    r->n_subs = (int64_t)complete_subs;
+    r->values = dup(values);
+    r->n_values = (int64_t)values.size();
+    return r;
+}
+
+}  // extern "C"
