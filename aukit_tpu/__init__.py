@@ -166,6 +166,30 @@ def detect(data: bytes):
     return detect_format(data)
 
 
+def play_file(path: str, *sinks, volume: float | None = None):
+    """One-liner player (the reference module's __call metamethod,
+    aukit.lua:100-107): detect the format from the first 64 bytes (DFPWM as
+    the fallback), stream-decode, and play. With no sinks, a realtime-paced
+    null sink is used."""
+    from .playback import NullSink
+
+    with open(path, "rb") as f:
+        head = f.read(64)
+        f.seek(0)
+        data = f.read()
+    kind = detect(head)[0] or "dfpwm"
+    streamer = getattr(stream, kind)
+    if kind == "pcm":
+        it, _ = streamer(data)
+    elif kind == "dfpwm":
+        it, _ = streamer(data, 48000, 1)
+    else:
+        it, _ = streamer(data)
+    if not sinks:
+        sinks = (NullSink(realtime=True),)
+    play(it, *sinks, volume=volume)
+
+
 # -- subsystem namespaces ---------------------------------------------------------
 
 from . import effects  # noqa: E402
@@ -196,4 +220,5 @@ __all__ = [
     "stream",
     "play",
     "player",
+    "play_file",
 ]

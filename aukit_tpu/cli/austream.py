@@ -44,7 +44,42 @@ def parse_params(params: str | None) -> dict:
 
 
 def open_source(path: str, stream_data: bool):
-    """Returns bytes or a chunk-pull callable (austream.lua:19-81)."""
+    """Returns bytes or a chunk-pull callable (austream.lua:19-81).
+    ``tcp://host:port`` is the framework's analog of the reference's rednet
+    transport (N6 in SURVEY.md §2.3); ``ws(s)://`` uses the websockets package
+    when installed."""
+    if path.startswith("tcp://"):
+        import socket
+
+        host, port = path[6:].rsplit(":", 1)
+        sock = socket.create_connection((host, int(port)))
+
+        def data():
+            d = sock.recv(48000)
+            if not d:
+                sock.close()
+                return None
+            return d
+
+        return data
+    if path.startswith(("ws://", "wss://")):
+        try:
+            import websockets.sync.client as wsc  # optional dependency
+        except ImportError as e:
+            raise SystemExit("websocket sources need the 'websockets' package") from e
+        conn = wsc.connect(path)
+
+        def data():
+            try:
+                msg = conn.recv()
+            except Exception:
+                return None
+            if isinstance(msg, str):
+                print("Warning: Text message detected! This audio may be corrupt.")
+                msg = msg.encode("latin-1")
+            return msg
+
+        return data
     if path.startswith(("http://", "https://")):
         import urllib.request
 
@@ -129,6 +164,7 @@ def main(argv=None):
     ap.add_argument("-o", "--out", help="output file for 48kHz signed 8-bit samples")
     ap.add_argument("--speakers", type=int, default=1, help="number of output sinks (channels fan out)")
     ap.add_argument("--realtime", action="store_true")
+    ap.add_argument("--trace", metavar="DIR", help="write a jax.profiler trace to DIR")
     args = ap.parse_args(argv)
 
     import aukit_tpu as ak
@@ -144,7 +180,13 @@ def main(argv=None):
     length = length or 0
     print("Streaming...")
     sinks = [make_sink(args.out if i == 0 else None, args.realtime) for i in range(args.speakers)]
-    ak.play(it, *sinks, progress=progress_bar(length), volume=v.get("volume"))
+    import contextlib
+
+    from aukit_tpu.utils.trace import trace_session
+
+    ctx = trace_session(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        ak.play(it, *sinks, progress=progress_bar(length), volume=v.get("volume"))
     print()
 
 
