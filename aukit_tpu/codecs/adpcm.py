@@ -61,6 +61,8 @@ _DELTA_CAP = 1 << 20  # defensive overflow bound, see module docstring
 @jax.jit
 def ima_adpcm_scan(nibbles: jnp.ndarray, predictor: jnp.ndarray, step_index: jnp.ndarray):
     """Decode ``int32[lanes, T]`` nibbles (0..15) with per-lane initial state.
+    Sequential-scan reference implementation (the parity oracle for the
+    parallel formulation below).
 
     Returns (int32[lanes, T] predictors, (predictor, step_index) final state).
     """
@@ -78,6 +80,60 @@ def ima_adpcm_scan(nibbles: jnp.ndarray, predictor: jnp.ndarray, step_index: jnp
 
     (predictor, step_index), out = jax.lax.scan(step_fn, (predictor, step_index), xs)
     return jnp.transpose(out), (predictor, step_index)
+
+
+_BIG = jnp.int32(1 << 30)
+
+
+def _clampadd_scan(deltas: jnp.ndarray, lo: int, hi: int, init: jnp.ndarray):
+    """Parallel evaluation of x_t = clamp(x_{t-1} + d_t, lo, hi) over the last
+    axis. Functions x -> min(max(x+a, l), h) are closed under composition
+    (min/max-plus algebra), so the whole recurrence is one associative scan:
+        (f2 . f1): a = a1+a2, l = clamp(l1+a2, l2, h2), h = clamp(h1+a2, l2, h2)
+    Returns all x_t (inclusive). Exact in int32."""
+    a = deltas
+    l = jnp.full_like(deltas, lo)
+    h = jnp.full_like(deltas, hi)
+
+    def combine(f1, f2):
+        a1, l1, h1 = f1
+        a2, l2, h2 = f2
+        return (
+            a1 + a2,
+            jnp.clip(l1 + a2, l2, h2),
+            jnp.clip(h1 + a2, l2, h2),
+        )
+
+    A, L, H = jax.lax.associative_scan(combine, (a, l, h), axis=-1)
+    return jnp.clip(init[..., None] + A, L, H)
+
+
+@jax.jit
+def ima_adpcm_parallel(nibbles: jnp.ndarray, predictor: jnp.ndarray, step_index: jnp.ndarray):
+    """Time-PARALLEL IMA decode — the associative-scan recast of the predictor
+    recurrence (BASELINE.json north star: "predictor recurrences recast as
+    associative scans").
+
+    Both IMA recurrences are clamped additions:
+      idx_t  = clamp(idx_{t-1} + index_delta(nib_t), 0, 88)
+      pred_t = clamp(pred_{t-1} +/- diff_t,      -32768, 32767)
+    where diff_t depends only on (nib_t, idx_{t-1}) — so: scan #1 yields every
+    step index in O(log T) depth, one bulk table gather yields every step, and
+    scan #2 yields every predictor. No sequential dependency remains.
+    """
+    step_tbl = jnp.asarray(IMA_STEP_TABLE)
+    m = nibbles % 8
+    # index_delta: m in 0..3 -> -1, else (m-3)*2  (the IMA index table, computed
+    # arithmetically to avoid a gather)
+    idx_delta = jnp.where(m < 4, -1, (m - 3) * 2)
+    idx_all = _clampadd_scan(idx_delta, 0, 88, step_index)  # idx_t (post-update)
+    # step_t uses idx_{t-1}: shift right, seed with the initial index
+    idx_prev = jnp.concatenate([step_index[..., None], idx_all[..., :-1]], axis=-1)
+    step = jnp.take(step_tbl, idx_prev)
+    diff = ((m * step) >> 2) + (step >> 3)
+    signed = jnp.where(nibbles >= 8, -diff, diff)
+    pred_all = _clampadd_scan(signed, -32768, 32767, predictor)
+    return pred_all, (pred_all[..., -1], idx_all[..., -1])
 
 
 def decode_ima_adpcm(
@@ -110,7 +166,7 @@ def decode_ima_adpcm(
         lanes = nibs.reshape(channels, n)
     pred0 = np.zeros(channels, np.int32) if predictor is None else np.asarray(predictor, np.int32)
     sidx0 = np.zeros(channels, np.int32) if step_index is None else np.asarray(step_index, np.int32)
-    out, _ = ima_adpcm_scan(jnp.asarray(lanes), jnp.asarray(pred0), jnp.asarray(sidx0))
+    out, _ = ima_adpcm_parallel(jnp.asarray(lanes), jnp.asarray(pred0), jnp.asarray(sidx0))
     return np.asarray(out)
 
 
@@ -118,7 +174,7 @@ def ima_adpcm_blocks(nibbles: np.ndarray, predictor: np.ndarray, step_index: np.
     """Block-parallel entry: nibbles[L, T], predictor[L], step_index[L] ->
     int32[L, T]. Used by the WAV container/stream paths where every block's
     header provides the state (lanes = blocks*channels decode concurrently)."""
-    out, _ = ima_adpcm_scan(
+    out, _ = ima_adpcm_parallel(
         jnp.asarray(nibbles, dtype=jnp.int32),
         jnp.asarray(predictor, dtype=jnp.int32),
         jnp.asarray(step_index, dtype=jnp.int32),

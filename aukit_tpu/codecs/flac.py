@@ -378,7 +378,12 @@ def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, 
     offs = np.concatenate([[0], np.cumsum(sub["block"])])
     for i in range(S):
         vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
-    restored = restore_lpc_batch(vals, coefs, sub["shift"], sub["order"])
+    from ..native import flacbits as _nb
+
+    if _nb.available():
+        restored = _nb.restore_lpc(vals, sub["block"], sub["order"], sub["shift"], coefs)
+    else:
+        restored = restore_lpc_batch(vals, coefs, sub["shift"], sub["order"])
     restored <<= sub["wasted"][:, None]
     out_chunks = [[] for _ in range(channels)]
     half = 1 << (depth - 1)

@@ -63,9 +63,19 @@ def decode_g711(data: bytes, ulaw: bool, channels: int = 1, denom: int = 0x2000)
 @functools.partial(jax.jit, static_argnums=(1, 2, 3))
 def decode_g711_device(raw_u8: jnp.ndarray, ulaw: bool, channels: int, denom: int) -> jnp.ndarray:
     """Device-side batched variant: uint8[..., N] -> float32[..., C, N//C].
-    One gather from a VMEM-resident 256-entry table; XLA fuses the reshape."""
-    lut = jnp.asarray(g711_float_lut(bool(ulaw), denom))
-    vals = jnp.take(lut, raw_u8.astype(jnp.int32), axis=0)
+
+    Computes the expansion arithmetically (shift/mask elementwise VPU ops)
+    instead of a table gather — gathers serialize on TPU while the formula
+    vectorizes at full width."""
+    b = raw_u8.astype(jnp.int32) ^ (0xFF if ulaw else 0x55)
+    m = b & 0x0F
+    e = (b >> 4) & 0x7
+    if ulaw:
+        mag = ((m * 2 + 33) << e) - 33
+    else:
+        mag = jnp.where(e == 0, m * 4 + 2, (m * 2 + 33) << e)
+    negative = ((b & 0x80) != 0) == bool(ulaw)
+    vals = jnp.where(negative, -mag, mag).astype(jnp.float32) * jnp.float32(1.0 / denom)
     if channels > 1:
         n = vals.shape[-1] // channels
         vals = vals[..., : n * channels]

@@ -68,6 +68,12 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ]
         lib.flac_free.argtypes = [ctypes.POINTER(_ParseResult)]
+        lib.flac_restore.restype = None
+        lib.flac_restore.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -118,3 +124,22 @@ def parse_frames(data: bytes, pos: int, channels: int, depth: int, strict: bool 
         return np.stack([fbs, fca], axis=1) if F else np.zeros((0, 2), np.int32), sub, coefs, values
     finally:
         lib.flac_free(res)
+
+
+def restore_lpc(values: np.ndarray, blocks: np.ndarray, orders: np.ndarray,
+                shifts: np.ndarray, coefs: np.ndarray) -> np.ndarray:
+    """In-place batched LPC restore over values[S, T] int64 (C-contiguous)."""
+    lib = _load()
+    assert lib is not None
+    values = np.ascontiguousarray(values, np.int64)
+    blocks = np.ascontiguousarray(blocks, np.int64)
+    orders = np.ascontiguousarray(orders, np.int64)
+    shifts = np.ascontiguousarray(shifts, np.int64)
+    coefs = np.ascontiguousarray(coefs, np.int64)
+    S, T = values.shape
+    p = ctypes.POINTER(ctypes.c_int64)
+    lib.flac_restore(
+        values.ctypes.data_as(p), blocks.ctypes.data_as(p), orders.ctypes.data_as(p),
+        shifts.ctypes.data_as(p), coefs.ctypes.data_as(p), S, T,
+    )
+    return values

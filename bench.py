@@ -8,9 +8,14 @@ single-threaded interpreter at roughly realtime scale)."""
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent compile cache: repeated bench runs skip the slow remote compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aukit_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 
 def main():
@@ -73,5 +78,138 @@ def main():
     }))
 
 
+def _time(fn, force, iters=5):
+    import jax
+
+    force(fn(0))
+    t0 = time.time()
+    for i in range(iters):
+        force(fn(i))
+    return (time.time() - t0) / iters
+
+
+def bench_all():
+    """Secondary benchmarks covering BASELINE.json's config list; one JSON
+    line each (the headline DFPWM line is printed by main())."""
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def _sum(o):
+        return jnp.sum(jnp.asarray(o).astype(jnp.int32) if hasattr(o, "astype") else o)
+
+    def force(o):
+        arr = o[0] if isinstance(o, tuple) else o
+        return int(jnp.sum(jnp.asarray(arr).astype(jnp.float32)))
+
+    lines = []
+
+    # config 1: stream.wav 16-bit PCM -> 48k mono linear (host chunk engine)
+    import aukit_tpu as ak
+    from tests import fixtures as _  # noqa: F401  (not used; avoids heavy imports)
+
+    sig = (rng.integers(-20000, 20000, (2, 44100 * 20))).astype("<i2")
+    payload = sig.T.reshape(-1).tobytes()
+    t0 = time.time()
+    it, _l = ak.stream.pcm(payload, 16, "signed", 2, 44100, False, True)
+    n_out = sum(c.shape[1] for c, _p in it)
+    dt = time.time() - t0
+    lines.append({"metric": "stream_pcm_wav16_mono_realtime", "value": round(n_out / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+
+    # config 2: DFPWM encode+decode round trip (device)
+    from aukit_tpu.codecs.dfpwm import DfpwmState, dfpwm_decode, dfpwm_encode
+
+    L, N = 1024, 48000
+    levels = [jnp.asarray(rng.integers(-128, 128, (L, N)).astype(np.int32)) for _i in range(2)]
+    st = DfpwmState.zeros(L)
+
+    def rt(i):
+        enc, st2 = dfpwm_encode(levels[i % 2], st)
+        dec, _ = dfpwm_decode(enc, st)
+        return dec
+
+    dt = _time(rt, force, 3)
+    lines.append({"metric": f"dfpwm_roundtrip_realtime_{backend}", "value": round(L * N / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+
+    # config 3: MS/IMA ADPCM + G.711 batched decode (device scans / LUT)
+    from aukit_tpu.codecs.adpcm import ima_adpcm_scan, msadpcm_scan
+    from aukit_tpu.codecs.g711 import decode_g711_device
+
+    Lb, T = 4096, 2048
+    nibs = [jnp.asarray(rng.integers(0, 16, (Lb, T)).astype(np.int32)) for _i in range(2)]
+    z = jnp.zeros((Lb,), jnp.int32)
+    dt = _time(lambda i: ima_adpcm_scan(nibs[i % 2], z, z)[0], force, 3)
+    lines.append({"metric": f"ima_adpcm_decode_realtime_{backend}", "value": round(Lb * T / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+    snibs = [jnp.asarray(rng.integers(-8, 8, (Lb, T)).astype(np.int32)) for _i in range(2)]
+    c1 = jnp.full((Lb,), 256, jnp.int32)
+    c2 = jnp.zeros((Lb,), jnp.int32)
+    d0 = jnp.full((Lb,), 64, jnp.int32)
+    dt = _time(lambda i: msadpcm_scan(snibs[i % 2], c1, c2, d0, z, z), force, 3)
+    lines.append({"metric": f"ms_adpcm_decode_realtime_{backend}", "value": round(Lb * T / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+    raw = [jnp.asarray(rng.integers(0, 256, (Lb, 48000)).astype(np.uint8)) for _i in range(2)]
+    dt = _time(lambda i: decode_g711_device(raw[i % 2], True, 1, 0x2000), force, 3)
+    lines.append({"metric": f"g711_decode_realtime_{backend}", "value": round(Lb * 48000 / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+
+    # config 4: FLAC + QOA decode (host parse + device restore)
+    from tests import fixtures
+    from aukit_tpu.codecs import flac as fc
+    from aukit_tpu.codecs.qoa import decode_qoa
+
+    n = 4096
+    frames = b""
+    for _i in range(24):
+        frames += fixtures.flac_frame(
+            [{"type": "fixed", "order": 2, "warmup": [0, 0],
+              "residuals": [int(v) for v in rng.integers(-2000, 2000, n - 2)],
+              "param": 11, "partition_order": 0}], n, 0, 16)
+    flac_data = fixtures.flac_stream_header(48000, 1, 16, 24 * n) + frames
+    t0 = time.time()
+    arr, _sr, _m, _d = fc.decode_flac(flac_data)
+    dt = time.time() - t0
+    lines.append({"metric": "flac_decode_realtime", "value": round(arr.shape[1] / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+    qoa_data = fixtures.qoa_stream(rng, 2, 48000, [5120] * 40) + b"\x00" * 8
+    t0 = time.time()
+    smp, _r, _t = decode_qoa(qoa_data)
+    dt = time.time() - t0
+    lines.append({"metric": "qoa_decode_realtime", "value": round(smp.shape[1] / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+
+    # config 5: auconvert-style effects chain, batched multi-stream (device)
+    import aukit_tpu.effects as fx
+
+    streams = [ak.new_audio(((rng.random((64, 48000 * 2)) * 2 - 1) * 0.5).astype(np.float32), 44100)
+               for _i in range(2)]
+
+    def chain(i):
+        a = streams[i % 2]
+        a = ak.new_audio(a.data, a.sample_rate)
+        fx.normalize(a, 0.9)
+        a = a.mono()
+        fx.lowpass(a, 12000)
+        a = a.resample(48000, "cubic")
+        return a.data
+
+    dt = _time(chain, force, 3)
+    total = 64 * 48000 * 2
+    lines.append({"metric": f"effects_chain_batched_realtime_{backend}", "value": round(total / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+
+    for line in lines:
+        print(json.dumps(line))
+
+
 if __name__ == "__main__":
+    import sys
+
     main()
+    if "--all" in sys.argv:
+        bench_all()

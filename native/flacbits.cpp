@@ -329,4 +329,27 @@ FlacParseResult* flac_parse(const uint8_t* data, int64_t len, int64_t start_pos,
     return r;
 }
 
+// In-place batched LPC restore (the numpy fallback lives in codecs/flac.py):
+// values[S, stride] int64 padded rows, coefs[S, 32], per-row block/order/shift.
+// result[i] += floor(sum_j result[i-1-j]*coefs[j] / 2^shift) for i >= order;
+// negative shift multiplies (signed 5-bit field parity).
+void flac_restore(int64_t* values, const int64_t* blocks, const int64_t* orders,
+                  const int64_t* shifts, const int64_t* coefs, int64_t n_subs,
+                  int64_t stride) {
+    for (int64_t s = 0; s < n_subs; s++) {
+        int order = (int)orders[s];
+        if (order == 0) continue;
+        int64_t T = blocks[s];
+        int shift = (int)shifts[s];
+        int64_t* v = values + s * stride;
+        const int64_t* c = coefs + s * 32;
+        for (int64_t i = order; i < T; i++) {
+            int64_t sum = 0;
+            for (int j = 0; j < order; j++) sum += v[i - 1 - j] * c[j];
+            int64_t pred = shift >= 0 ? (sum >> shift) : (sum << (-shift));
+            v[i] += pred;
+        }
+    }
+}
+
 }  // extern "C"

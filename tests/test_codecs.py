@@ -220,3 +220,18 @@ def test_dfpwm_audio_encoders():
     planar = a.dfpwm(False)
     assert isinstance(inter, bytes) and len(inter) == 48000 * 2 * 0.1 // 8
     assert isinstance(planar, tuple) and len(planar) == 2
+
+
+def test_ima_parallel_matches_sequential_scan():
+    """The associative-scan IMA formulation must be bit-exact vs lax.scan."""
+    import jax.numpy as jnp
+    from aukit_tpu.codecs.adpcm import ima_adpcm_parallel, ima_adpcm_scan
+
+    nibs = RNG.integers(0, 16, (7, 1009)).astype(np.int32)
+    pred0 = RNG.integers(-32768, 32768, 7).astype(np.int32)
+    sidx0 = RNG.integers(0, 89, 7).astype(np.int32)
+    seq, (sp, si) = ima_adpcm_scan(jnp.asarray(nibs), jnp.asarray(pred0), jnp.asarray(sidx0))
+    par, (pp, pi) = ima_adpcm_parallel(jnp.asarray(nibs), jnp.asarray(pred0), jnp.asarray(sidx0))
+    np.testing.assert_array_equal(np.asarray(par), np.asarray(seq))
+    np.testing.assert_array_equal(np.asarray(pp), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(si))

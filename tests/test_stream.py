@@ -218,6 +218,34 @@ def test_stream_wav_dispatch_matches_direct():
         assert ap == bp
 
 
+def test_stream_aiff_dispatch():
+    sig = RNG.integers(-3000, 3000, (2, 24000))
+    payload = sig.T.reshape(-1).astype(">i2").tobytes()
+    f = fixtures.aiff_file(payload, 2, 24000, 16)
+    it, length = ak.stream.aiff(f)
+    got = collect(it)
+    assert abs(length - 1.0) < 1e-9
+    it2, _ = ak.stream.pcm(payload, 16, "signed", 2, 24000, True, False)
+    direct = collect(it2)
+    for (a, ap), (b, bp) in zip(got, direct):
+        np.testing.assert_array_equal(a, b)
+        assert ap == bp
+
+
+def test_stream_au_dispatch():
+    sig = RNG.integers(-3000, 3000, 16000)
+    payload = sig.astype(">i2").tobytes()
+    f = fixtures.au_file(payload, 3, 16000, 1)
+    it, length = ak.stream.au(f)
+    got = collect(it)
+    assert abs(length - 1.0) < 1e-9
+    it2, _ = ak.stream.pcm(payload, 16, "signed", 1, 16000, True, False)
+    direct = collect(it2)
+    assert len(got) == len(direct)
+    for (a, _), (b, _) in zip(got, direct):
+        np.testing.assert_array_equal(a, b)
+
+
 def test_stream_flac():
     n = 4096
     vals = RNG.integers(-(1 << 14), 1 << 14, n).tolist()
