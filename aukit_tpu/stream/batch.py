@@ -53,14 +53,17 @@ class BatchMetrics:
 
 
 class BatchDfpwmDecoder:
-    """Fixed-lane batched DFPWM -> 48 kHz int8 decoder.
+    """Fixed-lane batched codec -> 48 kHz int8 decoder.
 
     Parameters
     ----------
     lanes : number of concurrent streams
-    sample_rate : input DFPWM sample rate (all lanes; group streams by rate)
-    chunk_bytes : DFPWM bytes consumed per lane per step
+    sample_rate : input sample rate (all lanes; group streams by rate)
+    chunk_bytes : input bytes consumed per lane per step
     mesh : optional Mesh; lanes are sharded over all mesh axes
+    codec : "dfpwm" (default; Pallas kernel on TPU), "ulaw"/"alaw" (G.711
+        arithmetic expand), or "pcm8" (signed 8-bit passthrough) — the
+        byte-oriented codecs whose batched decode is one fused device op
     """
 
     def __init__(
@@ -70,7 +73,12 @@ class BatchDfpwmDecoder:
         chunk_bytes: int = 6000,
         mesh: jax.sharding.Mesh | None = None,
         use_pallas: bool | None = None,
+        codec: str = "dfpwm",
     ):
+        if codec not in ("dfpwm", "ulaw", "alaw", "pcm8"):
+            raise ValueError(f"unsupported batch codec {codec!r}")
+        self.codec = codec
+        self.samples_per_byte = 8 if codec == "dfpwm" else 1
         self.lanes = lanes
         self.sample_rate = sample_rate
         self.chunk_bytes = chunk_bytes
@@ -92,30 +100,42 @@ class BatchDfpwmDecoder:
 
     def _build_step(self):
         sr = self.sample_rate
+        codec = self.codec
 
         def step(bytes_u8, mask, charge, strength, prev_bit, prev_charge, lowpass, fir):
             state = DfpwmState(charge, strength, prev_bit, prev_charge, lowpass)
-            if self.use_pallas:
-                from ..kernels.dfpwm_pallas import dfpwm_decode_pallas
-
-                decoded, new_state = dfpwm_decode_pallas(bytes_u8, state)
-                decoded = decoded.astype(jnp.int32)
-            else:
-                decoded, new_state = dfpwm_decode(bytes_u8, state)
-            # lanes without data this step keep their previous state
             mask1d = mask[:, 0]
 
             def keep(new, old):
                 return jnp.where(mask1d, new, old)
 
-            new_state = DfpwmState(
-                keep(new_state.charge, state.charge),
-                keep(new_state.strength, state.strength),
-                keep(new_state.previous_bit, state.previous_bit),
-                keep(new_state.previous_charge, state.previous_charge),
-                keep(new_state.lowpass, state.lowpass),
-            )
-            f = decoded.astype(jnp.float32) / jnp.where(decoded < 0, 128.0, 127.0)
+            if codec == "dfpwm":
+                if self.use_pallas:
+                    from ..kernels.dfpwm_pallas import dfpwm_decode_pallas
+
+                    decoded, new_state = dfpwm_decode_pallas(bytes_u8, state)
+                    decoded = decoded.astype(jnp.int32)
+                else:
+                    decoded, new_state = dfpwm_decode(bytes_u8, state)
+                # lanes without data this step keep their previous state
+                new_state = DfpwmState(
+                    keep(new_state.charge, state.charge),
+                    keep(new_state.strength, state.strength),
+                    keep(new_state.previous_bit, state.previous_bit),
+                    keep(new_state.previous_charge, state.previous_charge),
+                    keep(new_state.lowpass, state.lowpass),
+                )
+                f = decoded.astype(jnp.float32) / jnp.where(decoded < 0, 128.0, 127.0)
+            elif codec in ("ulaw", "alaw"):
+                from ..codecs.g711 import decode_g711_device
+
+                f = decode_g711_device(bytes_u8, codec == "ulaw", 1, 0x2000)[:, 0, :]
+                new_state = state
+            else:  # pcm8: signed 8-bit
+                v = bytes_u8.astype(jnp.int32)
+                v = jnp.where(v >= 128, v - 256, v)
+                f = v.astype(jnp.float32) / jnp.where(v < 0, 128.0, 127.0)
+                new_state = state
             out, new_fir = dsp_chain(f, sr, CONFIG.output_rate, fir_state=fir)
             out = jnp.where(mask, out, 0)
             return (
@@ -191,7 +211,7 @@ class BatchDfpwmDecoder:
                 underrun = True
         if not mask.any():
             return None
-        positions = self._positions * 8.0 / self.sample_rate
+        positions = self._positions * float(self.samples_per_byte) / self.sample_rate
         self._positions += np.where(mask, n, 0)
         dev_bytes = jnp.asarray(staged)
         dev_mask = jnp.asarray(mask[:, None])
@@ -210,7 +230,7 @@ class BatchDfpwmDecoder:
         self.state = DfpwmState(*st[:5])
         self.fir = st[5]
         self.metrics.steps += 1
-        self.metrics.samples_decoded += int(mask.sum()) * n * 8
+        self.metrics.samples_decoded += int(mask.sum()) * n * self.samples_per_byte
         self.metrics.underruns += int(underrun)
         self.metrics.wall_seconds += time.perf_counter() - t0
         return out, mask, positions

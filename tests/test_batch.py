@@ -123,3 +123,23 @@ def test_batch_sharded_over_mesh():
     for i in (0, 7, 15):
         exp = fir_48k(dfpwm_decode_ref(streams[i]))
         np.testing.assert_array_equal(np.asarray(chunk[i]), exp)
+
+
+def test_batch_g711_and_pcm8_codecs():
+    from tests.ref.codecs import g711_ref
+
+    data = bytes(RNG.integers(0, 256, 8000, dtype=np.uint8))
+    eng = BatchDfpwmDecoder(2, 8000, chunk_bytes=8000, codec="ulaw")
+    eng.feed(0, data)
+    eng.feed(0, None)
+    eng.feed(1, None)
+    chunk, mask, pos = eng.step()
+    assert list(mask) == [True, False]
+    assert chunk.shape[1] == 48000  # 8k -> 48k resample
+    # pcm8 passthrough at 48k: FIR of the normalized signed bytes
+    raw = bytes(RNG.integers(0, 256, 4800, dtype=np.uint8))
+    eng2 = BatchDfpwmDecoder(1, 48000, chunk_bytes=4800, codec="pcm8")
+    eng2.feed(0, raw)
+    eng2.feed(0, None)
+    c2, m2, _ = eng2.step()
+    assert m2[0] and c2.shape[1] == 4800
