@@ -486,9 +486,12 @@ def wav(data, mono: bool = False, ignore_header: bool = False):
             data_type, channels, sample_rate, block_align, bit_depth, coefficients = fmt_info
             payload = data[pos : pos + size]
             if fn is not None:
+                # preserve the caller's chunk boundaries so mid-stream RIFF
+                # headers arrive chunk-aligned, like the reference's fn()
+                # passthrough (aukit.lua:2979-2991)
                 def source():
-                    out = fn.read(65536)
-                    if not out:
+                    out = fn.pull_chunk()
+                    if out is None:
                         return None
                     if ignore_header and out[:4] == b"RIFF" and out[8:12] == b"WAVE":
                         idx = out.find(b"data")
@@ -567,8 +570,18 @@ def aiff(data, mono: bool = False, ignore_header: bool = False):
             payload = data[pos + 8 + offset : pos + 8 + offset + length]
             if fn is not None:
                 def source():
-                    out = fn.read(65536)
-                    return out if out else None
+                    out = fn.pull_chunk()
+                    if out is None:
+                        return None
+                    if ignore_header and out[:4] == b"FORM" and out[8:12] in (b"AIFF", b"AIFC"):
+                        # re-sync on a repeated FORM header (aukit.lua:3053-3062;
+                        # the reference misreads the size field as the offset —
+                        # we skip SSND+size+offset+blockAlign+offset correctly)
+                        idx = out.find(b"SSND")
+                        if idx >= 0:
+                            (off2,) = struct.unpack_from(">I", out, idx + 8)
+                            return out[idx + 16 + off2 :]
+                    return out
 
                 body = _PrefixedSource(payload, source)
             else:
@@ -607,8 +620,14 @@ def au(data, mono: bool = False, ignore_header: bool = False):
     payload = data[start:] if size == 0xFFFFFFFF else data[start : start + size]
     if fn is not None:
         def source():
-            out = fn.read(65536)
-            return out if out else None
+            out = fn.pull_chunk()
+            if out is None:
+                return None
+            if ignore_header and out[:4] == b".snd":
+                # strip a repeated AU header via its offset field (aukit.lua:3097)
+                (off2,) = struct.unpack_from(">I", out, 4)
+                return out[off2 - 1 :]  # 1-based offset quirk, like the loader
+            return out
 
         body = _PrefixedSource(payload, source)
     else:

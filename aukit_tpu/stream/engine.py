@@ -321,3 +321,20 @@ class ChunkResampler:
         pos = self.out_count / self.out_rate
         self.out_count += out_len
         return out.astype(np.float32), pos
+
+    # -- checkpoint / resume (SURVEY.md §5.4): serializable resampler state ----
+    def get_state(self) -> dict:
+        return {
+            "carry": self.carry.copy(),
+            "carry_valid": self.carry_valid,
+            "filter_state": self.filter_state.copy(),
+            "first": self.first,
+            "out_count": self.out_count,
+        }
+
+    def set_state(self, state: dict):
+        self.carry = np.array(state["carry"], np.float64)
+        self.carry_valid = int(state["carry_valid"])
+        self.filter_state = np.array(state["filter_state"], np.float64)
+        self.first = bool(state["first"])
+        self.out_count = int(state["out_count"])

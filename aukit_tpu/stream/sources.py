@@ -60,6 +60,27 @@ class ByteSource:
         del self._buf[:]
         return out
 
+    def take_buffer(self) -> bytes:
+        """Drain only the already-buffered bytes (no new pulls)."""
+        out = bytes(self._buf)
+        del self._buf[:]
+        return out
+
+    def pull_chunk(self):
+        """One raw chunk from the underlying source, preserving the caller's
+        chunk boundaries (None at EOF). Buffered bytes are returned first."""
+        if self._buf:
+            return self.take_buffer()
+        if self._eof or self._fn is None:
+            return None
+        chunk = self._fn()
+        if chunk is None:
+            self._eof = True
+            return None
+        if self._transform is not None:
+            chunk = self._transform(chunk)
+        return bytes(chunk)
+
     @property
     def exhausted(self) -> bool:
         return self._eof and not self._buf

@@ -246,6 +246,41 @@ def test_stream_au_dispatch():
         np.testing.assert_array_equal(a, b)
 
 
+def test_stream_wav_ima_and_dfpwm_dispatch():
+    payload = fixtures.ima_wav_blocks(RNG, 3, 256, 2)
+    w = fixtures.wav_ima(payload, 24000, 2, 256)
+    it, _ = ak.stream.wav(w)
+    direct, _ = ak.stream.adpcm(payload, 256, 2, 24000)
+    for a, b in zip(collect(it), collect(direct)):
+        np.testing.assert_array_equal(a[0], b[0])
+    # DFPWM-in-WAV via the extensible container written by Audio.wav(1)
+    tone = ak.tone(300, 0.25, 0.4, sample_rate=48000)
+    w2 = tone.wav(1)
+    it2, length2 = ak.stream.wav(w2)
+    direct2, _ = ak.stream.dfpwm(tone.dfpwm(True), 48000, 1)
+    got = collect(it2)
+    exp = collect(direct2)
+    assert len(got) == len(exp) and abs(length2 - 0.25) < 1e-9
+    for a, b in zip(got, exp):
+        np.testing.assert_array_equal(a[0], b[0])
+
+
+def test_stream_wav_ignore_header_resync():
+    """Mid-stream RIFF headers are stripped when ignore_header=True
+    (looping net-radio feeds, aukit.lua:2984-2990)."""
+    sig = RNG.integers(-2000, 2000, (1, 48000)).astype(np.int64)
+    w = fixtures.wav_pcm(sig, 48000, 16)
+    # source function yields the file twice back-to-back
+    feed = [w, w]
+
+    def fn():
+        return feed.pop(0) if feed else None
+
+    it, _ = ak.stream.wav(fn, ignore_header=True)
+    total = sum(c.shape[1] for c, _p in collect(it))
+    assert total == 2 * 48000  # both payloads decoded, header stripped
+
+
 def test_stream_flac():
     n = 4096
     vals = RNG.integers(-(1 << 14), 1 << 14, n).tolist()
