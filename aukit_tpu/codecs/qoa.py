@@ -70,6 +70,18 @@ def qoa_lms_scan(dequantized: jnp.ndarray, history: jnp.ndarray, weights: jnp.nd
     return jnp.transpose(out), (history, weights)
 
 
+def qoa_lms_batched(dq: np.ndarray, hist: np.ndarray, wts: np.ndarray) -> np.ndarray:
+    """LMS reconstruction on the fastest available backend: native C++ on the
+    host (loader path), else the jitted lax.scan."""
+    from ..native import flacbits as _nb
+
+    if _nb.available():
+        out, _, _ = _nb.qoa_lms(dq, hist, wts)
+        return out
+    out, _ = qoa_lms_scan(jnp.asarray(dq), jnp.asarray(hist), jnp.asarray(wts))
+    return np.asarray(out)
+
+
 def parse_qoa_frames(data: bytes, pos: int, file_channels: int, file_sample_rate: int, file_samples: int):
     """Walk frames from ``pos`` collecting per-(frame,channel) state + slices.
     Returns (frames list, total_samples). Mirrors aukit.lua:1713-1775 including
@@ -139,12 +151,8 @@ def decode_qoa(data: bytes):
         dq[i, :, : f["dequant"].shape[1]] = f["dequant"]
         hist[i] = f["history"]
         wts[i] = f["weights"]
-    out, _ = qoa_lms_scan(
-        jnp.asarray(dq.reshape(F * C, tmax)),
-        jnp.asarray(hist.reshape(F * C, 4)),
-        jnp.asarray(wts.reshape(F * C, 4)),
-    )
-    out = np.asarray(out).reshape(F, C, tmax)
+    out = qoa_lms_batched(dq.reshape(F * C, tmax), hist.reshape(F * C, 4), wts.reshape(F * C, 4))
+    out = out.reshape(F, C, tmax)
     chans = [
         np.concatenate([out[i, c, : frames[i]["samples"]] for i in range(F)])
         for c in range(C)

@@ -74,6 +74,12 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.qoa_lms.restype = None
+        lib.qoa_lms.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
         _lib = lib
         return _lib
 
@@ -124,6 +130,22 @@ def parse_frames(data: bytes, pos: int, channels: int, depth: int, strict: bool 
         return np.stack([fbs, fca], axis=1) if F else np.zeros((0, 2), np.int32), sub, coefs, values
     finally:
         lib.flac_free(res)
+
+
+def qoa_lms(dequantized: np.ndarray, history: np.ndarray, weights: np.ndarray):
+    """Host QOA LMS: dq int32[L, T] + state int32[L, 4] (updated in place) ->
+    int32[L, T] reconstructed samples."""
+    lib = _load()
+    assert lib is not None
+    dq = np.ascontiguousarray(dequantized, np.int32)
+    hist = np.ascontiguousarray(history, np.int32)
+    wts = np.ascontiguousarray(weights, np.int32)
+    L, T = dq.shape
+    out = np.empty((L, T), np.int32)
+    p = ctypes.POINTER(ctypes.c_int32)
+    lib.qoa_lms(dq.ctypes.data_as(p), out.ctypes.data_as(p),
+                hist.ctypes.data_as(p), wts.ctypes.data_as(p), L, T)
+    return out, hist, wts
 
 
 def restore_lpc(values: np.ndarray, blocks: np.ndarray, orders: np.ndarray,

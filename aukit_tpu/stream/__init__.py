@@ -733,12 +733,14 @@ def qoa(data, mono: bool = False):
     in_pos = 0
 
     def decoded_frames():
+        from ..codecs.qoa import qoa_lms_batched
+
         for f in frames:
-            dq = f["dequant"]
-            out, _ = qoa_lms_scan(
-                jnp.asarray(dq), jnp.asarray(f["history"]), jnp.asarray(f["weights"])
-            )
-            out = np.asarray(out)[:, : f["samples"]]
+            out = qoa_lms_batched(
+                np.asarray(f["dequant"], np.int32),
+                np.asarray(f["history"], np.int32),
+                np.asarray(f["weights"], np.int32),
+            )[:, : f["samples"]]
             yield np.floor(out.astype(np.float64) / 256.0)  # Q10 int8 fast path
 
     frame_iter = decoded_frames()

@@ -352,4 +352,34 @@ void flac_restore(int64_t* values, const int64_t* blocks, const int64_t* orders,
     }
 }
 
+// QOA LMS reconstruction (host fast path; semantics identical to
+// codecs/qoa.py::qoa_lms_scan — int32 wraparound like the reference's bit32
+// coercion). dq/out: [lanes, T]; hist/wts: [lanes, 4] updated in place.
+void qoa_lms(const int32_t* dq, int32_t* out, int32_t* hist, int32_t* wts,
+             int64_t lanes, int64_t T) {
+    for (int64_t l = 0; l < lanes; l++) {
+        int32_t h0 = hist[l * 4], h1 = hist[l * 4 + 1], h2 = hist[l * 4 + 2], h3 = hist[l * 4 + 3];
+        int32_t w0 = wts[l * 4], w1 = wts[l * 4 + 1], w2 = wts[l * 4 + 2], w3 = wts[l * 4 + 3];
+        const int32_t* d = dq + l * T;
+        int32_t* o = out + l * T;
+        for (int64_t t = 0; t < T; t++) {
+            uint32_t sum = (uint32_t)w0 * (uint32_t)h0 + (uint32_t)w1 * (uint32_t)h1 +
+                           (uint32_t)w2 * (uint32_t)h2 + (uint32_t)w3 * (uint32_t)h3;
+            int32_t pred = (int32_t)sum >> 13;
+            int32_t rec = pred + d[t];
+            if (rec < -32768) rec = -32768;
+            if (rec > 32767) rec = 32767;
+            o[t] = rec;
+            int32_t delta = d[t] >> 4;
+            w0 += h0 < 0 ? -delta : delta;
+            w1 += h1 < 0 ? -delta : delta;
+            w2 += h2 < 0 ? -delta : delta;
+            w3 += h3 < 0 ? -delta : delta;
+            h0 = h1; h1 = h2; h2 = h3; h3 = rec;
+        }
+        hist[l * 4] = h0; hist[l * 4 + 1] = h1; hist[l * 4 + 2] = h2; hist[l * 4 + 3] = h3;
+        wts[l * 4] = w0; wts[l * 4 + 1] = w1; wts[l * 4 + 2] = w2; wts[l * 4 + 3] = w3;
+    }
+}
+
 }  // extern "C"
