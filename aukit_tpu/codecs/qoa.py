@@ -134,7 +134,10 @@ def parse_qoa_frames(data: bytes, pos: int, file_channels: int, file_sample_rate
 
 def decode_qoa(data: bytes):
     """QOA bytes -> (int32[C, N] reconstructed samples, sample_rate, file_samples)."""
-    magic, file_samples = struct.unpack_from(">4sI", data, 0)
+    try:
+        magic, file_samples = struct.unpack_from(">4sI", data, 0)
+    except struct.error as e:
+        raise ValueError("Not a QOA file") from e
     if magic != b"qoaf":
         raise ValueError("Not a QOA file")
     file_channels = data[8]

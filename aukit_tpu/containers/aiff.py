@@ -26,6 +26,13 @@ def parse_comm_rate(e: int, m: int) -> float:
 
 
 def decode_aiff(data: bytes, head: bool = False) -> Audio:
+    try:
+        return _decode_aiff(data, head)
+    except struct.error as e:
+        raise ValueError("invalid AIFF file (truncated)") from e
+
+
+def _decode_aiff(data: bytes, head: bool = False) -> Audio:
     if data[:4] != b"FORM":
         raise ValueError("not an AIFF file")
     form_type = data[8:12]

@@ -16,7 +16,10 @@ _PCM_DEPTH = {2: 8, 3: 16, 4: 24, 5: 32}
 
 
 def parse_au_header(data: bytes):
-    magic, offset, size, encoding, sample_rate, channels = struct.unpack_from(">4sIIIII", data, 0)
+    try:
+        magic, offset, size, encoding, sample_rate, channels = struct.unpack_from(">4sIIIII", data, 0)
+    except struct.error as e:
+        raise ValueError("invalid AU file (truncated header)") from e
     if magic != b".snd":
         raise ValueError("invalid AU file")
     return offset, size, encoding, sample_rate, channels

@@ -127,6 +127,13 @@ def regroup_ima_stereo(body: np.ndarray) -> np.ndarray:
 
 
 def decode_wav(data: bytes, head: bool = False) -> Audio:
+    try:
+        return _decode_wav(data, head)
+    except struct.error as e:
+        raise ValueError("invalid WAV file (truncated)") from e
+
+
+def _decode_wav(data: bytes, head: bool = False) -> Audio:
     if data[:4] != b"RIFF":
         raise ValueError("not a WAV file")
     if data[8:12] != b"WAVE":
