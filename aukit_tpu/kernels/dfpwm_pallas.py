@@ -58,6 +58,9 @@ def _decode_tile(byte, q, s, lb, pq, lp, out_rows):
     return q, s, lb, pq, lp
 
 
+UNROLL = 2  # bytes per loop iteration (measured +25% over 1; 4 regresses)
+
+
 def _decode_kernel(nvalid_ref, bytes_ref, state_in_ref, out_ref, state_out_ref, st):
     t = pl.program_id(1)
     nvalid = nvalid_ref[0]  # true byte count (time padding must not advance state)
@@ -68,21 +71,21 @@ def _decode_kernel(nvalid_ref, bytes_ref, state_in_ref, out_ref, state_out_ref, 
 
     def body(i, carry):
         q, s, lb, pq, lp = carry
-        byte = bytes_ref[0, i].astype(jnp.int32)
         rows = []
-        nq, ns, nlb, npq, nlp = _decode_tile(byte, q, s, lb, pq, lp, rows)
-        out_ref[0, pl.ds(i * 8, 8)] = jnp.stack(rows).astype(jnp.int8)
-        valid = (t * TIME_TILE + i) < nvalid
-        return (
-            jnp.where(valid, nq, q),
-            jnp.where(valid, ns, s),
-            jnp.where(valid, nlb, lb),
-            jnp.where(valid, npq, pq),
-            jnp.where(valid, nlp, lp),
-        )
+        for u in range(UNROLL):
+            byte = bytes_ref[0, i * UNROLL + u].astype(jnp.int32)
+            nq, ns, nlb, npq, nlp = _decode_tile(byte, q, s, lb, pq, lp, rows)
+            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+            q = jnp.where(valid, nq, q)
+            s = jnp.where(valid, ns, s)
+            lb = jnp.where(valid, nlb, lb)
+            pq = jnp.where(valid, npq, pq)
+            lp = jnp.where(valid, nlp, lp)
+        out_ref[0, pl.ds(i * UNROLL * 8, UNROLL * 8)] = jnp.stack(rows).astype(jnp.int8)
+        return (q, s, lb, pq, lp)
 
     init = (st[0], st[1], st[2], st[3], st[4])
-    q, s, lb, pq, lp = jax.lax.fori_loop(0, bytes_ref.shape[1], body, init)
+    q, s, lb, pq, lp = jax.lax.fori_loop(0, bytes_ref.shape[1] // UNROLL, body, init)
     st[0], st[1], st[2], st[3], st[4] = q, s, lb, pq, lp
     state_out_ref[0] = jnp.stack([q, s, lb, pq, lp])
 
@@ -118,6 +121,9 @@ def dfpwm_decode_grouped(bytes_gm: jnp.ndarray, state_gm: jnp.ndarray, n_valid=N
             jax.ShapeDtypeStruct((G, 5, SUB, LANE), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((5, SUB, LANE), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")  # state resets at t==0
+        ),
         interpret=interpret,
     )(n_valid, bytes_gm, state_gm)
 

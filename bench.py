@@ -36,15 +36,18 @@ def main():
 
     rng = np.random.default_rng(0)
     if backend == "tpu":
-        # production path: Pallas kernel, native [G, B, 32, 128] layout
-        G, Bb = 4, 6016  # 16384 streams x ~1s @48kHz
-        B = -(-Bb // kp.TIME_TILE) * kp.TIME_TILE
-        xs = [jnp.asarray(rng.integers(0, 256, (G, B, 32, 128), dtype=np.uint8)) for _ in range(4)]
+        # production path: Pallas kernel, native [G, B, 32, 128] layout.
+        # Large batch (32768 streams x 4s) amortizes this environment's ~30ms
+        # per-call tunnel latency; scaling study: G=4,B=6144 -> 0.47M x,
+        # G=8,B=24576 -> 1.71M x (the kernel itself is throughput-bound only
+        # at this size).
+        G, B = 8, 24576
+        xs = [jnp.asarray(rng.integers(0, 256, (G, B, 32, 128), dtype=np.uint8)) for _ in range(2)]
         st0 = jnp.zeros((G, 5, 32, 128), jnp.int32)
         nv = jnp.full((1,), B, jnp.int32)
 
         def run(i, st):
-            out, st = kp.dfpwm_decode_grouped(xs[i % 4], st, nv)
+            out, st = kp.dfpwm_decode_grouped(xs[i % 2], st, nv)
             return out, st
 
         samples = G * kp.GROUP * B * 8
@@ -61,7 +64,7 @@ def main():
 
     out, st = run(0, st0)
     int(_force(out))  # compile + warm both kernels
-    iters = 10 if backend == "tpu" else 3
+    iters = 4 if backend == "tpu" else 3
     st = st0
     t0 = time.time()
     for i in range(iters):
