@@ -123,17 +123,31 @@ def bench_all():
     lines.append({"metric": "stream_pcm_wav16_mono_realtime", "value": round(n_out / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
 
-    # config 2: DFPWM encode+decode round trip (device)
+    # config 2: DFPWM encode+decode round trip (Pallas pair on TPU)
     from aukit_tpu.codecs.dfpwm import DfpwmState, dfpwm_decode, dfpwm_encode
 
-    L, N = 1024, 48000
-    levels = [jnp.asarray(rng.integers(-128, 128, (L, N)).astype(np.int32)) for _i in range(2)]
-    st = DfpwmState.zeros(L)
+    if backend == "tpu":
+        from aukit_tpu.kernels.dfpwm_pallas import GROUP, TIME_TILE, dfpwm_decode_grouped, dfpwm_encode_grouped
 
-    def rt(i):
-        enc, st2 = dfpwm_encode(levels[i % 2], st)
-        dec, _ = dfpwm_decode(enc, st)
-        return dec
+        G2, N2 = 4, TIME_TILE * 8 * 12
+        L, N = G2 * GROUP, N2
+        lv = [jnp.asarray(rng.integers(-128, 128, (G2, N2, 32, 128)).astype(np.int8)) for _i in range(2)]
+        est = jnp.zeros((G2, 3, 32, 128), jnp.int32)
+        dst = jnp.zeros((G2, 5, 32, 128), jnp.int32)
+
+        def rt(i):
+            enc, _ = dfpwm_encode_grouped(lv[i % 2], est)
+            dec, _ = dfpwm_decode_grouped(enc, dst)
+            return dec
+    else:
+        L, N = 1024, 48000
+        levels = [jnp.asarray(rng.integers(-128, 128, (L, N)).astype(np.int32)) for _i in range(2)]
+        st = DfpwmState.zeros(L)
+
+        def rt(i):
+            enc, st2 = dfpwm_encode(levels[i % 2], st)
+            dec, _ = dfpwm_decode(enc, st)
+            return dec
 
     dt = _time(rt, force, 3)
     lines.append({"metric": f"dfpwm_roundtrip_realtime_{backend}", "value": round(L * N / dt / 48000, 1),

@@ -68,3 +68,35 @@ def test_auconvert_wav8_unsigned(wav_file, tmp_path):
     auconvert.main(["-i", wav_file, "-o", out, "-B", "8"])
     b = ak.wav(open(out, "rb").read())
     assert b.info == {"dataType": "unsigned", "bitDepth": 8}
+
+
+def test_austream_tm_keyboard_loop():
+    import threading
+
+    from aukit_tpu.cli.austream_tm import keyboard_loop
+
+    class FakePlayer:
+        is_paused = False
+        seeked = None
+        stopped = False
+
+        def pause(self):
+            self.is_paused = True
+
+        def play(self):
+            self.is_paused = False
+
+        def live_position(self):
+            return 10.0
+
+        def seek(self, p):
+            self.seeked = p
+
+        def stop(self):
+            self.stopped = True
+
+    fp = FakePlayer()
+    flag = threading.Event()
+    keyboard_loop(fp, flag, key_source=iter([" ", " ", "left", "right", "q"]))
+    assert fp.seeked == 15.0  # 10 - 5 then 10 + 5
+    assert fp.stopped and flag.is_set()
