@@ -47,6 +47,28 @@ def test_stream_pcm_parity(rate, mode):
         CONFIG.default_interpolation = old
 
 
+def test_stream_pcm_sinc_parity():
+    """Sinc mode: window history carry + forward-tap consumption vs the loop
+    model (short input: the model is O(61) per sample)."""
+    old = CONFIG.default_interpolation
+    CONFIG.default_interpolation = "sinc"
+    try:
+        rate = 32000
+        n = int(rate * 1.6)
+        vals = (RNG.random(n) * 2 - 1) * 0.7
+        raw = np.clip(np.round(vals * 32767), -32768, 32767).astype("<i2")
+        norm = np.where(raw < 0, raw / 32768.0, raw / 32767.0).astype(np.float32).astype(np.float64)
+        it, _ = ak.stream.pcm(raw.tobytes(), 16, "signed", 1, rate)
+        got = collect(it)
+        ref = list(stream_pcm_ref(list(norm), 1, rate, mode="sinc"))
+        assert len(got) == len(ref)
+        for (gc, gp), (rc, rp) in zip(got, ref):
+            assert gp == rp and gc.shape[1] == len(rc[0])
+            np.testing.assert_allclose(gc[0], np.array(rc[0], np.float32), atol=5e-5)
+    finally:
+        CONFIG.default_interpolation = old
+
+
 def test_stream_pcm_downsample_fixed():
     """96 kHz -> 48 kHz decimates by 2 (reference quirk Q18 fixed)."""
     import math
