@@ -20,8 +20,6 @@ All arithmetic is int32 and bit-exact vs the reference's Lua double math:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

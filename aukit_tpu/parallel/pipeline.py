@@ -25,8 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codecs.dfpwm import DfpwmState, dfpwm_decode
-from ..config import CONFIG
-from ..ops.resample import sinc_weights  # noqa: F401  (future sinc pipeline)
 
 
 @functools.lru_cache(maxsize=64)

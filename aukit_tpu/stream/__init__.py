@@ -293,7 +293,7 @@ def msadpcm(
     """Per-second MS-ADPCM block batching. The reference's mono path re-reads
     every block header from the stream start (quirk Q4) and its mono mixdown is
     l + r/2 (quirk Q3) — both fixed here."""
-    from ..codecs.adpcm import MSADPCM_DEFAULT_COEFFS, decode_msadpcm_blocks
+    from ..codecs.adpcm import decode_msadpcm_blocks
 
     mode = get_interpolation(None)
     src = ByteSource(input_data)
@@ -714,8 +714,7 @@ def qoa(data, mono: bool = False):
     """Streaming QOA (aukit.lua:3202-3337): accumulate ~1 s of input samples,
     int8 fast-path scale floor(recon/256) (quirk Q10, intentional), 2-sample
     history resample + recursive lowpass."""
-    from ..codecs.qoa import parse_qoa_frames, qoa_lms_scan
-    import jax.numpy as jnp
+    from ..codecs.qoa import parse_qoa_frames
 
     if not isinstance(data, (bytes, bytearray, memoryview)):
         data = ByteSource(data).read_all()
