@@ -143,11 +143,14 @@ def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref,
         byte = jnp.zeros_like(q)
         for k in range(8):
             level = levels[k]
-            bit = ((level > q) | ((level == q) & (q == 127))).astype(jnp.int32)
-            target = jnp.where(bit == 1, 127, -128)
+            bitc = (level > q) | ((level == q) & (q == 127))
+            # keep bit as an arithmetic int32: Mosaic cannot lower eq-compares
+            # between comparison-derived i1 vectors
+            bit = jnp.where(bitc, 1, 0)
+            target = jnp.where(bitc, 127, -128)
             nq = q + ((s * (target - q) + PREC_HALF) >> PREC)
-            nq = jnp.where((nq == q) & (nq != target), nq + jnp.where(bit == 1, 1, -1), nq)
-            same = bit == lb
+            nq = jnp.where((nq == q) & (nq != target), nq + jnp.where(bitc, 1, -1), nq)
+            same = (bit + lb) != 1  # int32 arithmetic equality of two 0/1 values
             z = jnp.where(same, STRENGTH_MAX, 0)
             s = jnp.where(s != z, s + jnp.where(same, 1, -1), s)
             q = nq
@@ -171,7 +174,9 @@ def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref,
 def dfpwm_encode_grouped(levels_gm: jnp.ndarray, state_gm: jnp.ndarray, n_valid=None, interpret: bool = False):
     """Native-layout encode.
 
-    levels_gm : int8/int32[G, N, 32, 128] sample levels (N multiple of 8*TIME_TILE)
+    levels_gm : int8[G, N, 32, 128] sample levels (N multiple of 8*TIME_TILE);
+        int8 keeps the VMEM input block at 4 MB (int32 would exceed the 16 MB
+        scoped limit)
     state_gm  : int32[G, 3, 32, 128] (charge, strength, previous_bit)
     n_valid   : int32[1] — true *byte* count (defaults to N//8)
     returns   : (uint8[G, N//8, 32, 128], int32[G, 3, 32, 128])
@@ -256,8 +261,9 @@ def dfpwm_decode_pallas(bytes_u8, state: DfpwmState | None = None, interpret: bo
 
 
 def dfpwm_encode_pallas(levels, state: DfpwmState | None = None, interpret: bool = False):
-    """Convenience wrapper: int[L, N] levels -> (uint8[L, N//8], state)."""
-    levels = jnp.asarray(levels, jnp.int32)
+    """Convenience wrapper: int[L, N] levels (values in [-128, 127]) ->
+    (uint8[L, N//8], state). Levels travel as int8 to keep VMEM blocks small."""
+    levels = jnp.asarray(levels, jnp.int8)
     L, N = levels.shape
     if state is None:
         state = DfpwmState.zeros(L)
