@@ -454,7 +454,10 @@ def main(argv=None):
             if name in ("mono", "reverse"):
                 audio = getattr(audio, name)()
             else:
-                getattr(ak.effects, name)(audio, *params)
+                fx = getattr(ak.effects, str(name), None)
+                if fx is None or not callable(fx) or str(name).startswith("_") or str(name) in ("Audio", "np", "jnp", "jax"):
+                    raise SystemExit(f"Unknown effect {name!r} (use -e list)")
+                fx(audio, *params)
         if audio.channels > out["channels"]:
             audio = audio.split(list(range(1, out["channels"] + 1)))
         if audio.sample_rate != out["sampleRate"]:

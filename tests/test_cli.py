@@ -100,3 +100,11 @@ def test_austream_tm_keyboard_loop():
     keyboard_loop(fp, flag, key_source=iter([" ", " ", "left", "right", "q"]))
     assert fp.seeked == 15.0  # 10 - 5 then 10 + 5
     assert fp.stopped and flag.is_set()
+
+
+def test_auconvert_unknown_effect_rejected(wav_file, tmp_path):
+    import pytest as _pytest
+
+    out = str(tmp_path / "x.wav")
+    with _pytest.raises(SystemExit):
+        auconvert.main(["-i", wav_file, "-o", out, "-e", "nosuch"])
