@@ -19,3 +19,7 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# opt-in NaN debugging for the device paths (SURVEY.md §5.2)
+if os.environ.get("AUKIT_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)

@@ -108,3 +108,30 @@ def test_auconvert_unknown_effect_rejected(wav_file, tmp_path):
     out = str(tmp_path / "x.wav")
     with _pytest.raises(SystemExit):
         auconvert.main(["-i", wav_file, "-o", out, "-e", "nosuch"])
+
+
+def test_austream_tcp_source(wav_file, tmp_path):
+    """tcp:// ingestion (the rednet-transport analog, N6)."""
+    import socket
+    import threading
+
+    payload = np.clip(np.random.default_rng(0).integers(-500, 500, 48000), -32768, 32767).astype("<i2").tobytes()
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def serve():
+        conn, _ = srv.accept()
+        for i in range(0, len(payload), 8192):
+            conn.sendall(payload[i : i + 8192])
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    out = str(tmp_path / "tcp.raw")
+    austream.main([f"tcp://127.0.0.1:{port}", "type=pcm,bitDepth=16,dataType=signed,sampleRate=48000", "-o", out])
+    t.join(5)
+    srv.close()
+    got = np.frombuffer(open(out, "rb").read(), np.int8)
+    assert len(got) == 48000

@@ -380,3 +380,33 @@ def test_player_pause_seek():
     out = sink.samples()
     assert len(out) == 3 * 48000
     assert out[0] == 0 and out[-1] == 2
+
+
+def test_chunk_resampler_checkpoint_roundtrip():
+    from aukit_tpu.stream.engine import ChunkResampler
+
+    rate = 32000
+    data = (RNG.random((1, int(rate * 2.2))) * 2 - 1) * 0.8
+    a = ChunkResampler(rate, 1)
+    c1 = a.process(data[:, : a.samples_needed])
+    state = a.get_state()
+    pos = a.samples_needed  # consumed so far (first chunk may differ)
+    # continue on a fresh engine from the checkpoint
+    b = ChunkResampler(rate, 1)
+    b.set_state(state)
+    n2 = b.samples_needed
+    ca = a.process(data[:, pos : pos + a.samples_needed])
+    cb = b.process(data[:, pos : pos + n2])
+    np.testing.assert_array_equal(ca[0], cb[0])
+    assert ca[1] == cb[1]
+
+
+def test_play_multi_sink_channel_fanout():
+    left = np.full((1, 1000), 10.0, np.float32)
+    right = np.full((1, 1000), -20.0, np.float32)
+    chunk = np.concatenate([left, right], axis=0)
+    s1, s2, s3 = (ak.playback.BufferSink() for _ in range(3))
+    ak.play(iter([(chunk, 0.0)]), s1, s2, s3)
+    assert s1.samples()[0] == 10 and s2.samples()[0] == -20
+    # extra sinks fall back to channel 1 (aukit.lua:1935)
+    assert s3.samples()[0] == 10
