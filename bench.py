@@ -171,6 +171,18 @@ def bench_all():
     dt = _time(lambda i: msadpcm_scan(snibs[i % 2], c1, c2, d0, z, z), force, 3)
     lines.append({"metric": f"ms_adpcm_decode_realtime_{backend}", "value": round(Lb * T / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
+    if backend == "tpu":
+        from aukit_tpu.kernels import msadpcm_pallas as mp
+
+        Gm, Tm = 4, 8192
+        xm = [jnp.asarray(rng.integers(-8, 8, (Gm, Tm, 32, 128)).astype(np.int8)) for _i in range(2)]
+        stm = jnp.zeros((Gm, 3, 32, 128), jnp.int32).at[:, 2].set(64)
+        com = jnp.zeros((Gm, 2, 32, 128), jnp.int32).at[:, 0].set(256)
+        nvm = jnp.full((1,), Tm, jnp.int32)
+        dt = _time(lambda i: mp.msadpcm_decode_grouped(xm[i % 2], stm, com, nvm)[0], force, 3)
+        lines.append({"metric": "ms_adpcm_pallas_realtime_tpu",
+                      "value": round(Gm * mp.GROUP * Tm / dt / 48000, 1),
+                      "unit": "x_realtime", "vs_baseline": None})
     raw = [jnp.asarray(rng.integers(0, 256, (Lb, 48000)).astype(np.uint8)) for _i in range(2)]
     dt = _time(lambda i: decode_g711_device(raw[i % 2], True, 1, 0x2000), force, 3)
     lines.append({"metric": f"g711_decode_realtime_{backend}", "value": round(Lb * 48000 / dt / 48000, 1),

@@ -58,3 +58,41 @@ def test_pallas_roundtrip():
     err = np.asarray(dec)[:, skip:].astype(np.float64) - sig[:, skip:]
     assert err.size > 0
     assert np.sqrt((err**2).mean()) < 12.0
+
+
+def test_msadpcm_pallas_matches_scan():
+    from aukit_tpu.codecs.adpcm import msadpcm_scan
+    from aukit_tpu.kernels import msadpcm_pallas as mp
+    import jax.numpy as jnp
+
+    L, T = 9, mp.TIME_TILE * 2 + 0  # padding exercised via lanes, T tile-aligned
+    nibs = RNG.integers(-8, 8, (L, T)).astype(np.int32)
+    s1 = RNG.integers(-2000, 2000, L).astype(np.int32)
+    s2 = RNG.integers(-2000, 2000, L).astype(np.int32)
+    delta = RNG.integers(16, 400, L).astype(np.int32)
+    c1 = np.full(L, 256, np.int32)
+    c2 = np.full(L, -208, np.int32)
+    got, fin = mp.msadpcm_decode_pallas(nibs, s1, s2, delta, c1, c2, interpret=INTERPRET)
+    ref = msadpcm_scan(
+        jnp.asarray(nibs), jnp.asarray(c1), jnp.asarray(c2),
+        jnp.asarray(delta), jnp.asarray(s1), jnp.asarray(s2),
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_msadpcm_pallas_ragged_time():
+    """n_valid masking: unaligned T must not corrupt final state."""
+    from aukit_tpu.codecs.adpcm import msadpcm_scan
+    from aukit_tpu.kernels import msadpcm_pallas as mp
+    import jax.numpy as jnp
+
+    L, T = 3, mp.TIME_TILE + 123
+    nibs = RNG.integers(-8, 8, (L, T)).astype(np.int32)
+    z16 = np.full(L, 64, np.int32)
+    zero = np.zeros(L, np.int32)
+    c1 = np.full(L, 512, np.int32)
+    c2 = np.full(L, -256, np.int32)
+    got, fin = mp.msadpcm_decode_pallas(nibs, zero, zero, z16, c1, c2, interpret=INTERPRET)
+    ref = msadpcm_scan(jnp.asarray(nibs), jnp.asarray(c1), jnp.asarray(c2),
+                       jnp.asarray(z16), jnp.asarray(zero), jnp.asarray(zero))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
