@@ -233,8 +233,19 @@ def decode_msadpcm_blocks(
         co1 = np.asarray(coefficients[0], dtype=np.int32)
         co2 = np.asarray(coefficients[1], dtype=np.int32)
     pidx = np.asarray(predictor_index, dtype=np.int64)
+    nib = np.asarray(nibbles, dtype=np.int32)
+    # big batches on TPU take the Pallas block-lane kernel (14x the scan);
+    # small/CPU batches use the portable scan
+    if jax.default_backend() == "tpu" and nib.shape[0] * nib.shape[1] >= 1 << 20:
+        from ..kernels.msadpcm_pallas import msadpcm_decode_pallas
+
+        out, _ = msadpcm_decode_pallas(
+            nib, np.asarray(sample1, np.int32), np.asarray(sample2, np.int32),
+            np.asarray(delta, np.int32), co1[pidx].astype(np.int32), co2[pidx].astype(np.int32),
+        )
+        return np.asarray(out)
     out = msadpcm_scan(
-        jnp.asarray(nibbles, dtype=jnp.int32),
+        jnp.asarray(nib),
         jnp.asarray(co1[pidx]),
         jnp.asarray(co2[pidx]),
         jnp.asarray(delta, dtype=jnp.int32),
