@@ -114,16 +114,13 @@ def parse_qoa_frames(data: bytes, pos: int, file_channels: int, file_sample_rate
         raw = np.frombuffer(data, np.uint8, count=avail, offset=fpos)
         if avail < total_slices * 8:  # defensively zero-pad malformed frames
             raw = np.concatenate([raw, np.zeros(total_slices * 8 - avail, np.uint8)])
-        u64 = raw.reshape(-1, 8).astype(np.uint64)
-        slices = np.zeros(total_slices, np.uint64)
-        for k in range(8):
-            slices |= u64[:, k] << np.uint64(8 * (7 - k))
+        if raw.ctypes.data % 8:  # malformed frame sizes can misalign the view
+            raw = raw.copy()
         # slice order: per 20-sample group, one slice per channel
-        slices = slices.reshape(nslices_per_ch, channels)
+        slices = raw.view(">u8").astype(np.uint64).reshape(nslices_per_ch, channels)
         sf = (slices >> np.uint64(60)).astype(np.int64)
-        res = np.zeros((nslices_per_ch, channels, 20), np.int64)
-        for k in range(20):
-            res[:, :, k] = ((slices >> np.uint64(57 - 3 * k)) & np.uint64(7)).astype(np.int64)
+        shifts = (57 - 3 * np.arange(20, dtype=np.uint64)).astype(np.uint64)
+        res = ((slices[:, :, None] >> shifts[None, None, :]) & np.uint64(7)).astype(np.int64)
         dq = QOA_DEQUANT[sf[:, :, None], res]  # [S, C, 20]
         dq = np.moveaxis(dq, 1, 0).reshape(channels, -1)  # [C, S*20]
         frames.append({"history": hist, "weights": wts, "dequant": dq, "samples": samples})
