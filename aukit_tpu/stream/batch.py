@@ -199,12 +199,13 @@ class BatchDfpwmDecoder:
         for lane in range(self.lanes):
             buf = self._buffers[lane]
             if len(buf) >= n:
-                staged[lane] = np.frombuffer(bytes(buf[:n]), np.uint8)
+                # zero-copy view of the bytearray, single copy into the staging
+                staged[lane] = np.frombuffer(buf, np.uint8, count=n)
                 del buf[:n]
                 mask[lane] = True
             elif self._eof[lane] and len(buf) > 0:
                 take = len(buf)
-                staged[lane, :take] = np.frombuffer(bytes(buf), np.uint8)
+                staged[lane, :take] = np.frombuffer(buf, np.uint8, count=take)
                 del buf[:]
                 mask[lane] = True  # trailing partial chunk (zero-padded tail)
             elif not self._eof[lane]:
