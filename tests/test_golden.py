@@ -41,10 +41,10 @@ def test_g711_golden(corpus):
     from aukit_tpu.codecs.g711 import decode_g711
 
     np.testing.assert_array_equal(
-        decode_g711(corpus["g711_in"].tobytes(), True, 1), corpus["g711_ulaw_out"].astype(np.float32)
+        decode_g711(corpus["g711_in"].tobytes(), True, 1)[0], corpus["g711_ulaw_out"].astype(np.float32)
     )
     np.testing.assert_array_equal(
-        decode_g711(corpus["g711_in"].tobytes(), False, 1), corpus["g711_alaw_out"].astype(np.float32)
+        decode_g711(corpus["g711_in"].tobytes(), False, 1)[0], corpus["g711_alaw_out"].astype(np.float32)
     )
 
 
