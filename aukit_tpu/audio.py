@@ -22,13 +22,13 @@ Semantics parity notes (reference line numbers):
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import CONFIG, get_interpolation
+from .config import get_interpolation
 from .utils.validation import check_bit_depth, check_data_type
 
 

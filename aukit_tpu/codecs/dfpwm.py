@@ -25,7 +25,6 @@ integer math, and int32 never overflows here (|s*(t-q)| <= 1023*255 < 2^18).
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -146,9 +145,6 @@ def dfpwm_encode(levels_i32: jnp.ndarray, state: DfpwmState):
 
 
 # -- host-convenience paths ---------------------------------------------------
-
-_BLOCK_BYTES = 6000  # the reference slices DFPWM into 6000-byte chunks (aukit.lua:1399)
-
 
 class DfpwmStreamDecoder:
     """Stateful lane-batched decoder mirroring ``dfpwm.make_decoder()``

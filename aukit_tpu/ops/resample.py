@@ -27,7 +27,6 @@ sinc the integer test is strictly more accurate. Documented deviation.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ reference speaker (the player fans channels out across sinks).
 from __future__ import annotations
 
 import threading
-import time
 
 import numpy as np
 

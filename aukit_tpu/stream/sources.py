@@ -8,7 +8,7 @@ equivalents: ``bytes``, arrays/lists of sample values, callables returning
 
 from __future__ import annotations
 
-from typing import Callable, Iterable
+from typing import Callable
 
 import numpy as np
 
