@@ -9,7 +9,7 @@ TPU-native formulation keeps time sequential (``lax.scan`` over bytes, 8 bit
 steps unrolled per byte) and vectorizes across *lanes* — thousands of
 independent streams decoded per dispatch (SURVEY.md §2.4, §5.7).
 
-Algorithm constants live in ``DfpwmSpec`` below. NOTE on parity: the bit-exact
+Algorithm constants live at module level below (PREC et al.). NOTE on parity: the bit-exact
 oracle is CC:Tweaked's ``rom/modules/main/cc/audio/dfpwm.lua``, which is not
 part of the reference tree and cannot be fetched in this environment; the spec
 here follows the published DFPWM1a algorithm (charge update with round-half-up
