@@ -179,12 +179,20 @@ def ima_adpcm_blocks(nibbles: np.ndarray, predictor: np.ndarray, step_index: np.
     int32[L, T]. Used by the WAV container/stream paths where every block's
     header provides the state (lanes = blocks*channels decode concurrently).
 
-    Uses the sequential time scan: with abundant lanes the compute-bound scan
-    beats the memory-bound associative formulation on TPU (measured ~4x); the
-    parallel form wins in the opposite regime (few lanes, long T — the
-    loader path in decode_ima_adpcm)."""
+    Backend routing: big TPU batches take the Pallas kernel (45x the scan);
+    otherwise the sequential time scan (which with abundant lanes also beats
+    the memory-bound associative formulation, measured ~4x). The associative
+    form wins only in the few-lanes/long-T regime (decode_ima_adpcm loader)."""
+    nib = np.asarray(nibbles, dtype=np.int32)
+    if jax.default_backend() == "tpu" and nib.shape[0] * nib.shape[1] >= 1 << 20:
+        from ..kernels.ima_pallas import ima_decode_pallas
+
+        out, _ = ima_decode_pallas(
+            nib, np.asarray(predictor, np.int32), np.asarray(step_index, np.int32)
+        )
+        return np.asarray(out)
     out, _ = ima_adpcm_scan(
-        jnp.asarray(nibbles, dtype=jnp.int32),
+        jnp.asarray(nib),
         jnp.asarray(predictor, dtype=jnp.int32),
         jnp.asarray(step_index, dtype=jnp.int32),
     )

@@ -172,6 +172,16 @@ def bench_all():
     lines.append({"metric": f"ms_adpcm_decode_realtime_{backend}", "value": round(Lb * T / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
     if backend == "tpu":
+        from aukit_tpu.kernels import ima_pallas as ipk
+
+        Gi, Ti = 4, 8192
+        xi = [jnp.asarray(rng.integers(0, 16, (Gi, Ti, 32, 128)).astype(np.uint8)) for _i in range(2)]
+        sti = jnp.zeros((Gi, 2, 32, 128), jnp.int32)
+        nvi = jnp.full((1,), Ti, jnp.int32)
+        dt = _time(lambda i: ipk.ima_decode_grouped(xi[i % 2], sti, nvi)[0], force, 3)
+        lines.append({"metric": "ima_adpcm_pallas_realtime_tpu",
+                      "value": round(Gi * ipk.GROUP * Ti / dt / 48000, 1),
+                      "unit": "x_realtime", "vs_baseline": None})
         from aukit_tpu.kernels import msadpcm_pallas as mp
 
         Gm, Tm = 4, 8192

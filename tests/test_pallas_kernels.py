@@ -96,3 +96,19 @@ def test_msadpcm_pallas_ragged_time():
     ref = msadpcm_scan(jnp.asarray(nibs), jnp.asarray(c1), jnp.asarray(c2),
                        jnp.asarray(z16), jnp.asarray(zero), jnp.asarray(zero))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_ima_pallas_matches_scan():
+    from aukit_tpu.codecs.adpcm import ima_adpcm_scan
+    from aukit_tpu.kernels import ima_pallas as ip
+    import jax.numpy as jnp
+
+    L, T = 7, ip.TIME_TILE + 77  # ragged time exercises n_valid masking
+    nibs = RNG.integers(0, 16, (L, T)).astype(np.int32)
+    pred = RNG.integers(-30000, 30000, L).astype(np.int32)
+    sidx = RNG.integers(0, 89, L).astype(np.int32)
+    got, (fp, fi) = ip.ima_decode_pallas(nibs, pred, sidx, interpret=INTERPRET)
+    ref, (rp, ri) = ima_adpcm_scan(jnp.asarray(nibs), jnp.asarray(pred), jnp.asarray(sidx))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))
