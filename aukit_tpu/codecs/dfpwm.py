@@ -13,7 +13,8 @@ Algorithm constants live at module level below (PREC et al.). NOTE on parity: th
 oracle is CC:Tweaked's ``rom/modules/main/cc/audio/dfpwm.lua``, which is not
 part of the reference tree and cannot be fetched in this environment; the spec
 here follows the published DFPWM1a algorithm (charge update with round-half-up
-at PREC=10, unit strength slew, flip-averaging antijerk, 140/256 output
+at PREC=10, unit strength slew with a 2^(PREC-7) minimum-strength floor —
+original dfpwm1a ``if(ns<8) ns=8`` — flip-averaging antijerk, 140/256 output
 low-pass). All constants are centralized so a future parity pass against
 CC:Tweaked is a constants-only change; golden-vector tests freeze the current
 semantics.
@@ -36,6 +37,7 @@ PREC = 10
 PREC_POW = 1 << PREC  # 1024
 PREC_HALF = 1 << (PREC - 1)  # 512
 STRENGTH_MAX = PREC_POW - 1  # 1023
+STRENGTH_MIN = 1 << (PREC - 7)  # 8 — canonical dfpwm1a floor, applied post-slew
 LOWPASS_NUM = 140  # output low-pass strength, /256
 RESP_INC = 1  # strength slew per bit toward STRENGTH_MAX
 RESP_DEC = 1  # strength slew per bit toward 0
@@ -78,7 +80,8 @@ def _predictor_step(charge, strength, previous_bit, bit):
     z = jnp.where(same, STRENGTH_MAX, 0).astype(jnp.int32)
     ns = jnp.where(
         strength != z, strength + jnp.where(same, RESP_INC, -RESP_DEC), strength
-    ).astype(jnp.int32)
+    )
+    ns = jnp.maximum(ns, STRENGTH_MIN).astype(jnp.int32)
     return nq.astype(jnp.int32), ns, bit.astype(jnp.int32)
 
 

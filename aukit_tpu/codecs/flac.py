@@ -159,21 +159,25 @@ def decode_subframe(inp: BitReader, sample_depth: int, block_size: int):
         sub["values"] = [rs(depth) for _ in range(block_size)]
     elif 8 <= stype <= 12:
         order = stype - 8
-        vals = [0] * block_size
+        # order may exceed block_size on crafted input: the reference's Lua
+        # tables grow past block_size during warmup and the frame still emits
+        # block_size samples — allocate the max, truncate after (ADVICE r1).
+        vals = [0] * max(block_size, order)
         for i in range(order):
             vals[i] = inp.read_signed(depth)
         decode_residuals(inp, order, block_size, vals)
-        sub.update(values=vals, order=order, coefs=list(FIXED_COEFFS[order]), shift=0)
+        sub.update(values=vals[:block_size], order=order,
+                   coefs=list(FIXED_COEFFS[order]), shift=0)
     elif 32 <= stype <= 63:
         order = stype - 31
-        vals = [0] * block_size
+        vals = [0] * max(block_size, order)
         for i in range(order):
             vals[i] = inp.read_signed(depth)
         precision = inp.require_uint(4) + 1
         shift = inp.read_signed(5)
         coefs = [inp.read_signed(precision) for _ in range(order)]
         decode_residuals(inp, order, block_size, vals)
-        sub.update(values=vals, order=order, coefs=coefs, shift=shift)
+        sub.update(values=vals[:block_size], order=order, coefs=coefs, shift=shift)
     else:
         raise FlacError("Reserved subframe type")
     return sub

@@ -206,6 +206,10 @@ def _decode_ima_wav_data(payload: bytes, block_align: int, channels: int, sample
             [hdr[:, 0:2].copy().view("<i2")[:, 0], hdr[:, 4:6].copy().view("<i2")[:, 0]], axis=1
         ).astype(np.int32)
         sidx = np.stack([hdr[:, 2], hdr[:, 6]], axis=1).astype(np.int32)
+        if sidx.size and sidx.max() > 88:
+            # reference errors via expect.range(step_index, 0, 88); unvalidated
+            # indices would feed an out-of-range gather on the Pallas path
+            raise ValueError("invalid WAV file: IMA step index out of range")
         ngroups = (block_align - 8) // 8
         body = raw[:, 8 : 8 + ngroups * 8]
         nibs = np.stack([regroup_ima_stereo(body[b]) for b in range(nblocks)])  # [B, 2, T]

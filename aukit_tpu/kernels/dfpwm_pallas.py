@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..codecs.dfpwm import PREC, PREC_HALF, STRENGTH_MAX, LOWPASS_NUM, DfpwmState
+from ..codecs.dfpwm import PREC, PREC_HALF, STRENGTH_MAX, STRENGTH_MIN, LOWPASS_NUM, DfpwmState
 
 SUB = 32  # sublanes per tile
 LANE = 128  # lanes per tile
@@ -49,6 +49,7 @@ def _decode_tile(byte, q, s, lb, pq, lp, out_rows):
         same = bit == lb
         z = jnp.where(same, STRENGTH_MAX, 0)
         s = jnp.where(s != z, s + jnp.where(same, 1, -1), s)
+        s = jnp.maximum(s, STRENGTH_MIN)
         aj = jnp.where(bit != lb, (nq + pq + 1) >> 1, nq)
         lp = lp + (((aj - lp) * LOWPASS_NUM + 0x80) >> 8)
         out_rows.append(lp)
@@ -153,6 +154,7 @@ def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref,
             same = (bit + lb) != 1  # int32 arithmetic equality of two 0/1 values
             z = jnp.where(same, STRENGTH_MAX, 0)
             s = jnp.where(s != z, s + jnp.where(same, 1, -1), s)
+            s = jnp.maximum(s, STRENGTH_MIN)
             q = nq
             lb = bit
             byte = byte | (bit << k)

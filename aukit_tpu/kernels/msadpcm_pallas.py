@@ -126,7 +126,10 @@ def msadpcm_decode_pallas(nibbles, sample1, sample2, delta, c1, c2, interpret: b
         vp = jnp.pad(v, (0, Lp - L))
         return vp.reshape(Lp // GROUP, SUB, LANE)
 
-    state_gm = jnp.stack([pack(sample1), pack(sample2), jnp.maximum(pack(delta), 0)], axis=1)
+    # the signed header delta is used as-is for the first sample of each block
+    # (the >=16 floor only applies from the first update) — clamping here would
+    # diverge from msadpcm_scan and the reference (ADVICE r1)
+    state_gm = jnp.stack([pack(sample1), pack(sample2), pack(delta)], axis=1)
     coef_gm = jnp.stack([pack(c1), pack(c2)], axis=1)
     out_gm, st_gm = msadpcm_decode_grouped(gm, state_gm, coef_gm, jnp.full((1,), T, jnp.int32), interpret)
     out = groups_to_lanes(out_gm.astype(jnp.int32), L, T)

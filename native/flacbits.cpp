@@ -183,7 +183,11 @@ static bool decode_subframe(BitReader& br, int depth, int block_size,
     m.shift = 0;
     m.block_size = block_size;
     size_t base = values.size();
-    values.resize(base + block_size, 0);
+    // order (<=32) may exceed block_size on crafted input: warmup must not
+    // write past the allocation (heap overflow, ADVICE r1). The Lua
+    // reference's tables grow past block_size and the frame still emits
+    // block_size samples, so over-allocate, then trim back to block_size.
+    values.resize(base + (size_t)(block_size > 32 ? block_size : 32), 0);
     int32_t* out = values.data() + base;
     if (stype == 0) {
         int32_t c = br.s(d);
@@ -212,6 +216,7 @@ static bool decode_subframe(BitReader& br, int depth, int block_size,
         return false;
     }
     if (br.error) { *err = 7; return false; }
+    values.resize(base + block_size);
     return true;
 }
 

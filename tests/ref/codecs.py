@@ -303,6 +303,8 @@ def dfpwm_decode_ref(data: bytes, prec=10, lp_num=140):
             z = smax if bit == prev_bit else 0
             if strength != z:
                 strength += 1 if bit == prev_bit else -1
+            if strength < (1 << (prec - 7)):  # canonical dfpwm1a floor
+                strength = 1 << (prec - 7)
             if bit != prev_bit:
                 aj = (nq + prev_charge + 1) >> 1
             else:
@@ -331,6 +333,8 @@ def dfpwm_encode_ref(levels, prec=10):
         z = smax if bit == prev_bit else 0
         if strength != z:
             strength += 1 if bit == prev_bit else -1
+        if strength < (1 << (prec - 7)):  # canonical dfpwm1a floor
+            strength = 1 << (prec - 7)
         charge, prev_bit = nq, bit
         byte |= bit << (i % 8)
         if i % 8 == 7:

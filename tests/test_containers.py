@@ -70,6 +70,16 @@ def test_wav_ima_stereo():
     np.testing.assert_array_equal(np.asarray(a.data), refc.norm16(np.array(exp)).astype(np.float32))
 
 
+def test_wav_ima_stereo_step_index_validated():
+    """Out-of-range stereo step index (>88) must raise like the reference's
+    expect.range, not feed an unbounded gather (ADVICE r1)."""
+    payload = bytearray(fixtures.ima_wav_blocks(RNG, 1, 128, 2))
+    payload[2] = 200  # left-channel step index
+    w = fixtures.wav_ima(bytes(payload), 22050, 2, 128)
+    with pytest.raises(ValueError):
+        ak.wav(w)
+
+
 def test_wav_ima_mono_q13_index_mask():
     payload = fixtures.ima_wav_blocks(RNG, 2, 64, 1)
     w = fixtures.wav_ima(payload, 8000, 1, 64)

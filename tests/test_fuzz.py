@@ -61,6 +61,40 @@ def test_flac_malformed_headers():
         ak.flac(bytes(b))
 
 
+def test_flac_order_exceeds_block_size():
+    """Crafted frame with block_size=1 and LPC order 32: the reference's Lua
+    tables grow past block_size during warmup, so this must decode (emitting
+    block_size samples), not overflow/crash (ADVICE r1 high: flacbits.cpp
+    warmup wrote order>block_size ints past the values allocation)."""
+    from tests import fixtures
+    from aukit_tpu.codecs import flac as flac_codec
+    from aukit_tpu.native import flacbits
+
+    warmup = RNG.integers(-1000, 1000, 32).tolist()
+    frame = fixtures.flac_frame(
+        [{"type": "lpc", "order": 32, "warmup": warmup, "precision": 7,
+          "shift": 5, "coefs": [1] * 32, "residuals": [], "param": 4,
+          "partition_order": 0}],
+        1, 0, 16,
+    )
+    data = fixtures.flac_stream_header(48000, 1, 16, 1) + frame
+    out_py = flac_codec.decode_flac(data, use_native=False)[0]
+    assert out_py.shape == (1, 1)
+    assert out_py[0, 0] == np.float32(warmup[0] / (1 << 16))
+    # fixed subframe variant (order 4 > block_size 1) through the same paths
+    frame_f = fixtures.flac_frame(
+        [{"type": "fixed", "order": 4, "warmup": warmup[:4], "residuals": [],
+          "param": 4, "partition_order": 0}],
+        1, 0, 16,
+    )
+    data_f = fixtures.flac_stream_header(48000, 1, 16, 1) + frame_f
+    out_f = flac_codec.decode_flac(data_f, use_native=False)[0]
+    assert out_f.shape == (1, 1)
+    if flacbits.available():
+        np.testing.assert_array_equal(flac_codec.decode_flac(data, use_native=True)[0], out_py)
+        np.testing.assert_array_equal(flac_codec.decode_flac(data_f, use_native=True)[0], out_f)
+
+
 def test_stream_iterators_tolerate_garbage_tails():
     """A valid header followed by garbage ends the stream, doesn't raise."""
     from tests import fixtures

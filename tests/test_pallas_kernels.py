@@ -69,7 +69,9 @@ def test_msadpcm_pallas_matches_scan():
     nibs = RNG.integers(-8, 8, (L, T)).astype(np.int32)
     s1 = RNG.integers(-2000, 2000, L).astype(np.int32)
     s2 = RNG.integers(-2000, 2000, L).astype(np.int32)
-    delta = RNG.integers(16, 400, L).astype(np.int32)
+    # include negative header deltas: the signed value is used raw for the
+    # first sample (the >=16 floor only applies from the first update)
+    delta = RNG.integers(-400, 400, L).astype(np.int32)
     c1 = np.full(L, 256, np.int32)
     c2 = np.full(L, -208, np.int32)
     got, fin = mp.msadpcm_decode_pallas(nibs, s1, s2, delta, c1, c2, interpret=INTERPRET)
