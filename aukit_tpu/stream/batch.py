@@ -4,25 +4,39 @@ sharded dispatch (SURVEY.md §2.4 "the north-star axis", §5.7, §5.8).
 Where the reference decodes one stream per coroutine, this engine packs many
 independent streams into fixed lanes:
 
- - host side: one ring buffer per lane fed by ``feed()`` (network/file
-   ingestion), with per-lane EOF;
- - device side: one fused dispatch per ``step()``: batched codec kernel
-   (Pallas on TPU, lax.scan elsewhere) -> resample -> FIR -> int8, plus
-   per-lane state carried on device between steps — no host round-trips for
-   state (SURVEY.md §7 hard part 3);
+ - **lane specs & groups**: every lane declares its codec/rate/channels
+   (``LaneSpec``); lanes with equal specs share a *group* — one fused device
+   dispatch and one static resample plan per group, so a mixed fleet of
+   WAV/PCM16 + DFPWM + ADPCM + QOA streams at mixed sample rates decodes
+   concurrently (VERDICT r1 item 2; reference stream dispatch surface
+   aukit.lua:2992-2996);
+ - host side: vectorized staging — bulk-fed groups stage whole chunk matrices
+   as column *views* of the fed arrays (zero host copies, no per-lane Python
+   loop; VERDICT r1 item 3), per-lane ``feed()`` remains for jittery network
+   ingestion;
+ - device side: one fused dispatch per group per ``step()``: batched codec
+   kernel (Pallas on TPU, lax.scan elsewhere) -> resample -> FIR -> int8,
+   with per-lane DFPWM state carried on device between steps — no host
+   round-trips for state (SURVEY.md §7 hard part 3). Dispatches are async:
+   staging chunk k+1 overlaps device compute of chunk k (double buffering);
  - lanes that are exhausted or unfed are masked, not removed: a poisoned or
    starved lane never stalls the batch (§5.3 per-stream error isolation);
  - per-lane serializable checkpoints (§5.4): byte offset + codec state + DSP
    state; ``checkpoint()``/``restore()`` round-trip through numpy;
- - optional ``jax.sharding.Mesh``: lanes are sharded over the mesh so the same
-   engine scales across chips with XLA-inserted collectives only.
+ - optional ``jax.sharding.Mesh`` (homogeneous engines): lanes are sharded
+   over the mesh so the same engine scales across chips with XLA-inserted
+   collectives only.
 
-Round-1 engine covers DFPWM (the flagship codec); the block-parallel codecs
-(ADPCM/QOA) batch naturally through their block-lane kernels in stream/*.
+Output contract: homogeneous engines (one group) emit each decode chunk
+directly as a device array (the flagship DFPWM bench path). Heterogeneous
+engines emit uniform ``int8[L, output_rate]`` one-second host chunks,
+assembled from per-group FIFOs because block codecs decode whole blocks
+(>= 1 s of input per step, reference per-second batching aukit.lua:2617-2619).
 """
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import time
 from typing import Sequence
@@ -31,9 +45,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.dfpwm import DfpwmState, dfpwm_decode
+from ..codecs.dfpwm import DfpwmState
 from ..config import CONFIG
 from ..parallel.pipeline import dsp_chain
+from .batch_codecs import LaneSpec, build_decoder, geometry, init_state
+
+__all__ = ["LaneSpec", "BatchStreamEngine", "BatchDfpwmDecoder", "BatchMetrics"]
 
 
 @dataclasses.dataclass
@@ -52,18 +69,468 @@ class BatchMetrics:
         return self.samples_decoded / self.wall_seconds / CONFIG.output_rate
 
 
-class BatchDfpwmDecoder:
-    """Fixed-lane batched codec -> 48 kHz int8 decoder.
+class _GroupIO:
+    """Per-group ingestion buffers.
+
+    Two modes, fixed at first feed:
+     - "bulk": whole ``[lanes, bytes]`` matrices via feed_bulk; staging slices
+       columns out of the fed arrays (views — zero copy, zero Python loops);
+     - "lane": per-lane bytearrays via feed_lane (network-style ingestion).
+    """
+
+    def __init__(self, lanes: int, n: int):
+        self.lanes, self.n = lanes, n
+        self.mode: str | None = None
+        self.segs: collections.deque[np.ndarray] = collections.deque()
+        self.seg_off = 0  # consumed columns of segs[0]
+        self.bufs: list[bytearray] | None = None
+        self.eof = np.zeros(lanes, bool)
+
+    # -- feeding -------------------------------------------------------------
+    def feed_lane(self, slot: int, data: bytes | None):
+        if data is None:
+            self.eof[slot] = True
+            return
+        if self.mode == "bulk":
+            raise RuntimeError("group already fed via feed_array; cannot mix with feed()")
+        if self.mode is None:
+            self.mode = "lane"
+            self.bufs = [bytearray() for _ in range(self.lanes)]
+        self.bufs[slot].extend(data)
+
+    def feed_bulk(self, arr: np.ndarray, eof: bool):
+        if self.mode == "lane":
+            raise RuntimeError("group already fed via feed(); cannot mix with feed_array()")
+        self.mode = "bulk"
+        if arr.dtype != np.uint8:
+            arr = arr.astype(np.uint8)
+        if arr.shape[0] != self.lanes:
+            raise ValueError(f"feed_array rows {arr.shape[0]} != group lanes {self.lanes}")
+        if arr.shape[1]:
+            self.segs.append(arr)
+        if eof:
+            self.eof[:] = True
+
+    # -- queries -------------------------------------------------------------
+    def available(self) -> np.ndarray:
+        if self.mode == "bulk":
+            tot = sum(s.shape[1] for s in self.segs) - self.seg_off
+            return np.full(self.lanes, tot, np.int64)
+        if self.mode == "lane":
+            return np.array([len(b) for b in self.bufs], np.int64)
+        return np.zeros(self.lanes, np.int64)
+
+    @property
+    def exhausted(self) -> bool:
+        return bool(self.eof.all()) and not self.available().any()
+
+    def pending_bytes(self, slot: int) -> bytes:
+        if self.mode == "bulk":
+            parts, off = [], self.seg_off
+            for s in self.segs:
+                parts.append(s[slot, off:].tobytes())
+                off = 0
+            return b"".join(parts)
+        if self.mode == "lane":
+            return bytes(self.bufs[slot])
+        return b""
+
+    def replace_lane(self, slot: int, data: bytes, eof: bool):
+        if self.mode == "bulk":
+            raise RuntimeError("cannot restore a single lane of a bulk-fed group")
+        if self.mode is None:
+            self.mode = "lane"
+            self.bufs = [bytearray() for _ in range(self.lanes)]
+        self.bufs[slot] = bytearray(data)
+        self.eof[slot] = eof
+
+    # -- staging -------------------------------------------------------------
+    def stage(self):
+        """-> (staged uint8[L, n], ready bool[L], consumed int64[L], underrun)
+        or None when no lane can produce. Partial EOF tails are zero-padded
+        (round-1 semantics). Bulk staging is a column VIEW when the chunk falls
+        inside one fed segment — the only copy is the device transfer."""
+        n = self.n
+        if self.mode == "bulk":
+            tot = sum(s.shape[1] for s in self.segs) - self.seg_off
+            if tot >= n:
+                head = self.segs[0]
+                if head.shape[1] - self.seg_off >= n:
+                    staged = head[:, self.seg_off : self.seg_off + n]  # view
+                    self.seg_off += n
+                    if self.seg_off == head.shape[1]:
+                        self.segs.popleft()
+                        self.seg_off = 0
+                else:  # chunk spans segments: assemble once
+                    staged = np.empty((self.lanes, n), np.uint8)
+                    filled = 0
+                    while filled < n:
+                        head = self.segs[0]
+                        take = min(n - filled, head.shape[1] - self.seg_off)
+                        staged[:, filled : filled + take] = head[
+                            :, self.seg_off : self.seg_off + take
+                        ]
+                        filled += take
+                        self.seg_off += take
+                        if self.seg_off == head.shape[1]:
+                            self.segs.popleft()
+                            self.seg_off = 0
+                return staged, np.ones(self.lanes, bool), np.full(self.lanes, n, np.int64), False
+            if tot > 0 and self.eof.all():
+                staged = np.zeros((self.lanes, n), np.uint8)
+                filled = 0
+                while self.segs:
+                    head = self.segs.popleft()
+                    take = head.shape[1] - self.seg_off
+                    staged[:, filled : filled + take] = head[:, self.seg_off :]
+                    filled += take
+                    self.seg_off = 0
+                return staged, np.ones(self.lanes, bool), np.full(self.lanes, tot, np.int64), False
+            return None
+        if self.mode == "lane":
+            staged = np.zeros((self.lanes, n), np.uint8)
+            ready = np.zeros(self.lanes, bool)
+            consumed = np.zeros(self.lanes, np.int64)
+            underrun = False
+            for slot in range(self.lanes):
+                buf = self.bufs[slot]
+                if len(buf) >= n:
+                    staged[slot] = np.frombuffer(buf, np.uint8, count=n)
+                    del buf[:n]
+                    ready[slot] = True
+                    consumed[slot] = n
+                elif self.eof[slot] and len(buf) > 0:
+                    take = len(buf)
+                    staged[slot, :take] = np.frombuffer(buf, np.uint8, count=take)
+                    del buf[:]
+                    ready[slot] = True
+                    consumed[slot] = take
+                elif not self.eof[slot]:
+                    underrun = True
+            if not ready.any():
+                return None
+            return staged, ready, consumed, underrun
+        return None
+
+
+class _Group:
+    """Lanes sharing one LaneSpec: fused device step + staging + output FIFO."""
+
+    def __init__(self, spec: LaneSpec, slots: np.ndarray, mesh, use_pallas, out_rate: int):
+        self.spec = spec
+        self.slots = slots  # external lane ids, in engine order
+        self.lanes = len(slots)
+        self.mesh = mesh
+        self.in_bytes, self.in_samples = geometry(spec)
+        self.out_samples = self.in_samples * out_rate // spec.sample_rate
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and mesh is None
+                and spec.codec in ("dfpwm", "ima", "msadpcm")
+                and self.lanes * self.in_samples >= 1 << 20
+            )
+        self.use_pallas = use_pallas
+        self.io = _GroupIO(self.lanes, self.in_bytes)
+        self.fir = jnp.zeros(self.lanes, jnp.float32)
+        state = init_state(spec, self.lanes)
+        self._state_leaves, self._state_def = jax.tree_util.tree_flatten(state)
+        self.samples_in = np.zeros(self.lanes, np.int64)  # input samples consumed
+        self.samples_out = np.zeros(self.lanes, np.int64)  # output samples emitted
+        # mixed-engine output FIFO (lockstep across the group's lanes)
+        self.fifo: np.ndarray | None = None
+        self.fill = 0
+        self.spans: collections.deque[tuple[int, np.ndarray]] = collections.deque()
+        self._sharding = None
+        if mesh is not None:
+            P = jax.sharding.PartitionSpec
+            self._sharding = jax.sharding.NamedSharding(mesh, P(tuple(mesh.axis_names), None))
+        self._step_fn = self._build_step(out_rate)
+
+    def _build_step(self, out_rate: int):
+        decode, self.stateful = build_decoder(self.spec, self.use_pallas)
+        in_rate = self.spec.sample_rate
+        state_def = self._state_def
+
+        def step(bytes_u8, mask2d, fir, *state_leaves):
+            state = jax.tree_util.tree_unflatten(state_def, state_leaves)
+            f, new_state = decode(bytes_u8, state)
+            out, new_fir = dsp_chain(f, in_rate, out_rate, fir_state=fir)
+            out = jnp.where(mask2d, out, 0)
+            mask1 = mask2d[:, 0]
+            new_fir = jnp.where(mask1, new_fir, fir)
+            new_leaves = [
+                jnp.where(mask1, nl, ol)
+                for nl, ol in zip(jax.tree_util.tree_leaves(new_state), state_leaves)
+            ]
+            return (out, new_fir, *new_leaves)
+
+        if self._sharding is not None:
+            P = jax.sharding.PartitionSpec
+            state_sh = jax.sharding.NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+            nstate = len(self._state_leaves)
+            return jax.jit(
+                step,
+                in_shardings=(self._sharding, self._sharding, state_sh) + (state_sh,) * nstate,
+                out_shardings=(self._sharding, state_sh) + (state_sh,) * nstate,
+            )
+        return jax.jit(step)
+
+    def decode_once(self):
+        """Stage + dispatch one chunk. Returns (out_dev, ready, underrun) or
+        None when no lane could produce."""
+        st = self.io.stage()
+        if st is None:
+            return None
+        staged, ready, consumed, underrun = st
+        dev = jnp.asarray(staged)
+        if self._sharding is not None:
+            dev = jax.device_put(dev, self._sharding)
+        out, fir, *state = self._step_fn(dev, jnp.asarray(ready[:, None]), self.fir, *self._state_leaves)
+        self.fir = fir
+        self._state_leaves = state
+        self.samples_in += np.where(ready, (consumed * self.in_samples) // self.in_bytes, 0)
+        return out, ready, underrun
+
+    # -- mixed-engine FIFO ----------------------------------------------------
+    def fifo_push(self, out_np: np.ndarray, ready: np.ndarray):
+        if self.fifo is None:
+            cap = self.out_samples + CONFIG.output_rate
+            self.fifo = np.zeros((self.lanes, cap), np.int8)
+        need = self.fill + out_np.shape[1]
+        if need > self.fifo.shape[1]:
+            self.fifo = np.concatenate(
+                [self.fifo, np.zeros((self.lanes, need - self.fifo.shape[1]), np.int8)], axis=1
+            )
+        self.fifo[:, self.fill : self.fill + out_np.shape[1]] = out_np
+        self.fill += out_np.shape[1]
+        self.spans.append((out_np.shape[1], ready))
+
+    def fifo_pop(self, count: int):
+        """Pop ``count`` samples (zero-padded if short). Returns
+        (int8[L, count], had_real bool[L])."""
+        out = np.zeros((self.lanes, count), np.int8)
+        take = min(count, self.fill)
+        if take and self.fifo is not None:
+            out[:, :take] = self.fifo[:, :take]
+            self.fifo[:, : self.fill - take] = self.fifo[:, take : self.fill]
+            self.fill -= take
+        had_real = np.zeros(self.lanes, bool)
+        remaining = take
+        while remaining > 0 and self.spans:
+            n, mask = self.spans[0]
+            had_real |= mask
+            if n <= remaining:
+                self.spans.popleft()
+                remaining -= n
+            else:
+                self.spans[0] = (n - remaining, mask)
+                remaining = 0
+        self.samples_out += np.where(had_real, count, 0)
+        return out, had_real
+
+
+class BatchStreamEngine:
+    """Fixed-lane batched multi-codec -> 48 kHz int8 decoder.
 
     Parameters
     ----------
-    lanes : number of concurrent streams
-    sample_rate : input sample rate (all lanes; group streams by rate)
-    chunk_bytes : input bytes consumed per lane per step
-    mesh : optional Mesh; lanes are sharded over all mesh axes
-    codec : "dfpwm" (default; Pallas kernel on TPU), "ulaw"/"alaw" (G.711
-        arithmetic expand), or "pcm8" (signed 8-bit passthrough) — the
-        byte-oriented codecs whose batched decode is one fused device op
+    specs : one LaneSpec per lane (lanes with equal specs share a group/dispatch)
+    mesh : optional Mesh (homogeneous engines only); lanes sharded over all axes
+    use_pallas : force/disable the Pallas kernels (default: auto on TPU)
+    """
+
+    def __init__(
+        self,
+        specs: Sequence[LaneSpec],
+        mesh: jax.sharding.Mesh | None = None,
+        use_pallas: bool | None = None,
+    ):
+        specs = list(specs)
+        if not specs:
+            raise ValueError("need at least one lane")
+        self.lanes = len(specs)
+        self.specs = specs
+        by_spec: dict[LaneSpec, list[int]] = {}
+        for i, s in enumerate(specs):
+            by_spec.setdefault(s, []).append(i)
+        self.heterogeneous = len(by_spec) > 1
+        if self.heterogeneous:
+            if mesh is not None:
+                raise ValueError("mesh sharding requires a homogeneous engine")
+            for s in by_spec:
+                if s.chunk_bytes:
+                    raise ValueError("chunk_bytes overrides require a homogeneous engine")
+        self.groups = [
+            _Group(s, np.array(slots), mesh, use_pallas, CONFIG.output_rate)
+            for s, slots in by_spec.items()
+        ]
+        self._lane_map: list[tuple[int, int]] = [None] * self.lanes  # lane -> (gi, slot)
+        for gi, g in enumerate(self.groups):
+            for slot, lane in enumerate(g.slots):
+                self._lane_map[lane] = (gi, slot)
+        self.mesh = mesh
+        self.metrics = BatchMetrics()
+
+    # -- ingestion ---------------------------------------------------------------
+    def feed(self, lane: int, data: bytes | None):
+        """Append bytes to a lane's buffer; None marks end-of-stream
+        (SURVEY.md §5.8 host ingestion boundary)."""
+        gi, slot = self._lane_map[lane]
+        self.groups[gi].io.feed_lane(slot, data)
+
+    def feed_many(self, datas: Sequence[bytes | None]):
+        for lane, d in enumerate(datas):
+            self.feed(lane, d)
+
+    def feed_array(self, arr: np.ndarray, eof: bool = True):
+        """Bulk ingestion: ``uint8[L, B]`` rows in engine lane order. Bulk-fed
+        groups stage chunks as views — no per-lane host loop (the fast path
+        for benchmark/offline fleets)."""
+        arr = np.asarray(arr)
+        if arr.shape[0] != self.lanes:
+            raise ValueError(f"feed_array rows {arr.shape[0]} != lanes {self.lanes}")
+        for g in self.groups:
+            rows = arr[g.slots] if len(self.groups) > 1 else arr
+            g.io.feed_bulk(np.ascontiguousarray(rows), eof)
+
+    @property
+    def active(self) -> np.ndarray:
+        out = np.zeros(self.lanes, bool)
+        for g in self.groups:
+            avail = g.io.available()
+            act = ~g.io.eof | (avail > 0)
+            out[g.slots] = act
+        return out
+
+    @property
+    def done(self) -> bool:
+        return all(g.io.exhausted and g.fill == 0 for g in self.groups)
+
+    # -- the batched step -----------------------------------------------------------
+    def step(self):
+        """Decode one chunk across all lanes.
+
+        Returns (chunk, mask bool[L], positions float[L]) or None when every
+        lane is finished/starved. ``mask`` marks lanes that produced real audio
+        this step; ``positions`` are per-lane stream positions in seconds at
+        chunk start.
+
+        Homogeneous engine: ``chunk`` is a device int8[L, out_samples] array —
+        the dispatch is async, so staging the next chunk overlaps device
+        compute. Heterogeneous engine: ``chunk`` is a host int8[L, output_rate]
+        one-second window assembled from the per-group FIFOs."""
+        if self.done:
+            return None
+        t0 = time.perf_counter()
+        r = self._step_mixed() if self.heterogeneous else self._step_single()
+        if r is None:
+            return None
+        chunk, mask, positions, nsamp = r
+        self.metrics.steps += 1
+        self.metrics.samples_decoded += int(mask.sum()) * nsamp
+        self.metrics.wall_seconds += time.perf_counter() - t0
+        return chunk, mask, positions
+
+    def _step_single(self):
+        g = self.groups[0]
+        positions = g.samples_in / g.spec.sample_rate
+        r = g.decode_once()
+        if r is None:
+            return None
+        out, ready, underrun = r
+        self.metrics.underruns += int(underrun)
+        g.samples_out += np.where(ready, g.out_samples, 0)
+        return out, ready, positions, g.out_samples
+
+    def _step_mixed(self):
+        out_rate = CONFIG.output_rate
+        progressed = False
+        for g in self.groups:
+            while g.fill < out_rate:
+                r = g.decode_once()
+                if r is None:
+                    break
+                out, ready, underrun = r
+                self.metrics.underruns += int(underrun)
+                g.fifo_push(np.asarray(out), ready)
+                progressed = True
+        if not progressed and all(g.fill == 0 for g in self.groups):
+            return None
+        chunk = np.zeros((self.lanes, out_rate), np.int8)
+        mask = np.zeros(self.lanes, bool)
+        positions = np.zeros(self.lanes, np.float64)
+        for g in self.groups:
+            positions[g.slots] = g.samples_out / out_rate
+            got, had_real = g.fifo_pop(out_rate)
+            chunk[g.slots] = got
+            mask[g.slots] = had_real
+        if not mask.any():
+            return None
+        return chunk, mask, positions, out_rate
+
+    # -- checkpoint / resume (SURVEY.md §5.4) ------------------------------------------
+    def checkpoint(self, lane: int) -> dict:
+        """Serializable per-stream state: re-feeding bytes from ``byte_offset``
+        after ``restore`` resumes the stream exactly. (Heterogeneous engines:
+        take checkpoints on one-second boundaries — FIFO remnants are not
+        captured.)"""
+        gi, slot = self._lane_map[lane]
+        g = self.groups[gi]
+        byte_offset = int(g.samples_in[slot] * g.in_bytes // g.in_samples)
+        codec_state = {}
+        if g.stateful:
+            state = jax.tree_util.tree_unflatten(g._state_def, g._state_leaves)
+            codec_state = {
+                f: int(np.asarray(getattr(state, f))[slot])
+                for f in ("charge", "strength", "previous_bit", "previous_charge", "lowpass")
+            }
+        return {
+            "byte_offset": byte_offset,
+            "pending": g.io.pending_bytes(slot),
+            "eof": bool(g.io.eof[slot]),
+            "codec_state": codec_state,
+            "fir_state": float(np.asarray(g.fir)[slot]),
+        }
+
+    def restore(self, lane: int, ckpt: dict):
+        gi, slot = self._lane_map[lane]
+        g = self.groups[gi]
+        g.samples_in[slot] = ckpt["byte_offset"] * g.in_samples // g.in_bytes
+        g.io.replace_lane(slot, ckpt["pending"], ckpt["eof"])
+        if g.stateful and ckpt.get("codec_state"):
+            state = jax.tree_util.tree_unflatten(g._state_def, g._state_leaves)
+            arrs = {
+                f: np.asarray(getattr(state, f)).copy()
+                for f in ("charge", "strength", "previous_bit", "previous_charge", "lowpass")
+            }
+            for f, v in ckpt["codec_state"].items():
+                arrs[f][slot] = v
+            new_state = DfpwmState(*(jnp.asarray(arrs[f]) for f in
+                                     ("charge", "strength", "previous_bit", "previous_charge", "lowpass")))
+            g._state_leaves = jax.tree_util.tree_flatten(new_state)[0]
+        fir = np.asarray(g.fir).copy()
+        fir[slot] = ckpt.get("fir_state", 0.0)
+        g.fir = jnp.asarray(fir)
+
+    def reset_lane(self, lane: int):
+        """Reuse a finished lane for a new stream."""
+        zero = {"byte_offset": 0, "pending": b"", "eof": False, "fir_state": 0.0,
+                "codec_state": {f: 0 for f in ("charge", "strength", "previous_bit",
+                                               "previous_charge", "lowpass")}}
+        gi, slot = self._lane_map[lane]
+        if not self.groups[gi].stateful:
+            zero["codec_state"] = {}
+        self.restore(lane, zero)
+        self.groups[gi].samples_out[slot] = 0
+
+
+class BatchDfpwmDecoder(BatchStreamEngine):
+    """Round-1 compatible facade: a homogeneous engine over one byte codec.
+
+    Parameters mirror the original: lanes, sample_rate, chunk_bytes (input
+    bytes per lane per step), mesh, use_pallas, codec ("dfpwm"/"ulaw"/"alaw"/
+    "pcm8" plus, now, any other LaneSpec codec).
     """
 
     def __init__(
@@ -75,203 +542,8 @@ class BatchDfpwmDecoder:
         use_pallas: bool | None = None,
         codec: str = "dfpwm",
     ):
-        if codec not in ("dfpwm", "ulaw", "alaw", "pcm8"):
-            raise ValueError(f"unsupported batch codec {codec!r}")
-        self.codec = codec
-        self.samples_per_byte = 8 if codec == "dfpwm" else 1
-        self.lanes = lanes
+        spec = LaneSpec(codec, sample_rate, 1, chunk_bytes=chunk_bytes)
+        super().__init__([spec] * lanes, mesh=mesh, use_pallas=use_pallas)
         self.sample_rate = sample_rate
         self.chunk_bytes = chunk_bytes
-        self.mesh = mesh
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu" and mesh is None
-        self.use_pallas = use_pallas
-        self._buffers: list[bytearray] = [bytearray() for _ in range(lanes)]
-        self._eof = np.zeros(lanes, dtype=bool)
-        self._positions = np.zeros(lanes, dtype=np.int64)  # bytes consumed
-        self.state = DfpwmState.zeros(lanes)
-        self.fir = jnp.zeros(lanes, jnp.float32)  # carried DSP filter state
-        self.metrics = BatchMetrics()
-        self._sharding = None
-        if mesh is not None:
-            P = jax.sharding.PartitionSpec
-            self._sharding = jax.sharding.NamedSharding(mesh, P(tuple(mesh.axis_names), None))
-        self._step_fn = self._build_step()
-
-    def _build_step(self):
-        sr = self.sample_rate
-        codec = self.codec
-
-        def step(bytes_u8, mask, charge, strength, prev_bit, prev_charge, lowpass, fir):
-            state = DfpwmState(charge, strength, prev_bit, prev_charge, lowpass)
-            mask1d = mask[:, 0]
-
-            def keep(new, old):
-                return jnp.where(mask1d, new, old)
-
-            if codec == "dfpwm":
-                if self.use_pallas:
-                    from ..kernels.dfpwm_pallas import dfpwm_decode_pallas
-
-                    decoded, new_state = dfpwm_decode_pallas(bytes_u8, state)
-                    decoded = decoded.astype(jnp.int32)
-                else:
-                    decoded, new_state = dfpwm_decode(bytes_u8, state)
-                # lanes without data this step keep their previous state
-                new_state = DfpwmState(
-                    keep(new_state.charge, state.charge),
-                    keep(new_state.strength, state.strength),
-                    keep(new_state.previous_bit, state.previous_bit),
-                    keep(new_state.previous_charge, state.previous_charge),
-                    keep(new_state.lowpass, state.lowpass),
-                )
-                f = decoded.astype(jnp.float32) / jnp.where(decoded < 0, 128.0, 127.0)
-            elif codec in ("ulaw", "alaw"):
-                from ..codecs.g711 import decode_g711_device
-
-                f = decode_g711_device(bytes_u8, codec == "ulaw", 1, 0x2000)[:, 0, :]
-                new_state = state
-            else:  # pcm8: signed 8-bit
-                v = bytes_u8.astype(jnp.int32)
-                v = jnp.where(v >= 128, v - 256, v)
-                f = v.astype(jnp.float32) / jnp.where(v < 0, 128.0, 127.0)
-                new_state = state
-            out, new_fir = dsp_chain(f, sr, CONFIG.output_rate, fir_state=fir)
-            out = jnp.where(mask, out, 0)
-            return (
-                out,
-                new_state.charge,
-                new_state.strength,
-                new_state.previous_bit,
-                new_state.previous_charge,
-                new_state.lowpass,
-                keep(new_fir, fir),
-            )
-
-        if self.use_pallas:
-            return step  # dfpwm_decode_pallas is jitted internally; keep host glue
-        if self._sharding is not None:
-            state_sh = jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(tuple(self.mesh.axis_names)))
-            return jax.jit(
-                step,
-                in_shardings=(self._sharding, state_sh) + (state_sh,) * 6,
-                out_shardings=(self._sharding,) + (state_sh,) * 6,
-            )
-        return jax.jit(step)
-
-    # -- ingestion ---------------------------------------------------------------
-    def feed(self, lane: int, data: bytes | None):
-        """Append bytes to a lane's ring buffer; None marks end-of-stream
-        (SURVEY.md §5.8 host ingestion boundary)."""
-        if data is None:
-            self._eof[lane] = True
-        else:
-            self._buffers[lane].extend(data)
-
-    def feed_many(self, datas: Sequence[bytes | None]):
-        for lane, d in enumerate(datas):
-            self.feed(lane, d)
-
-    @property
-    def active(self) -> np.ndarray:
-        return ~self._eof | np.array([len(b) > 0 for b in self._buffers])
-
-    @property
-    def done(self) -> bool:
-        return bool(np.all(self._eof) and not any(self._buffers))
-
-    # -- the batched step -----------------------------------------------------------
-    def step(self):
-        """Decode one chunk across all lanes.
-
-        Returns (chunk int8[L, out_samples], mask bool[L], positions float[L])
-        or None when every lane is finished. ``mask`` marks lanes that produced
-        real audio this step; ``positions`` are per-lane stream positions in
-        seconds at chunk start.
-        """
-        if self.done:
-            return None
-        t0 = time.perf_counter()
-        n = self.chunk_bytes
-        staged = np.zeros((self.lanes, n), np.uint8)
-        mask = np.zeros(self.lanes, dtype=bool)
-        underrun = False
-        for lane in range(self.lanes):
-            buf = self._buffers[lane]
-            if len(buf) >= n:
-                # zero-copy view of the bytearray, single copy into the staging
-                staged[lane] = np.frombuffer(buf, np.uint8, count=n)
-                del buf[:n]
-                mask[lane] = True
-            elif self._eof[lane] and len(buf) > 0:
-                take = len(buf)
-                staged[lane, :take] = np.frombuffer(buf, np.uint8, count=take)
-                del buf[:]
-                mask[lane] = True  # trailing partial chunk (zero-padded tail)
-            elif not self._eof[lane]:
-                underrun = True
-        if not mask.any():
-            return None
-        positions = self._positions * float(self.samples_per_byte) / self.sample_rate
-        self._positions += np.where(mask, n, 0)
-        dev_bytes = jnp.asarray(staged)
-        dev_mask = jnp.asarray(mask[:, None])
-        if self._sharding is not None:
-            dev_bytes = jax.device_put(dev_bytes, self._sharding)
-        out, *st = self._step_fn(
-            dev_bytes,
-            dev_mask,
-            self.state.charge,
-            self.state.strength,
-            self.state.previous_bit,
-            self.state.previous_charge,
-            self.state.lowpass,
-            self.fir,
-        )
-        self.state = DfpwmState(*st[:5])
-        self.fir = st[5]
-        self.metrics.steps += 1
-        self.metrics.samples_decoded += int(mask.sum()) * n * self.samples_per_byte
-        self.metrics.underruns += int(underrun)
-        self.metrics.wall_seconds += time.perf_counter() - t0
-        return out, mask, positions
-
-    # -- checkpoint / resume (SURVEY.md §5.4) ------------------------------------------
-    def checkpoint(self, lane: int) -> dict:
-        """Serializable per-stream state: re-feeding bytes from ``byte_offset``
-        after ``restore`` resumes the stream exactly."""
-        return {
-            "byte_offset": int(self._positions[lane]),
-            "pending": bytes(self._buffers[lane]),
-            "eof": bool(self._eof[lane]),
-            "codec_state": {
-                f: int(np.asarray(getattr(self.state, f))[lane])
-                for f in ("charge", "strength", "previous_bit", "previous_charge", "lowpass")
-            },
-            "fir_state": float(np.asarray(self.fir)[lane]),
-        }
-
-    def restore(self, lane: int, ckpt: dict):
-        self._positions[lane] = ckpt["byte_offset"]
-        self._buffers[lane] = bytearray(ckpt["pending"])
-        self._eof[lane] = ckpt["eof"]
-        arrs = {f: np.asarray(getattr(self.state, f)) for f in
-                ("charge", "strength", "previous_bit", "previous_charge", "lowpass")}
-        for f, v in ckpt["codec_state"].items():
-            a = arrs[f].copy()
-            a[lane] = v
-            arrs[f] = a
-        self.state = DfpwmState(*(jnp.asarray(arrs[f]) for f in
-                                  ("charge", "strength", "previous_bit", "previous_charge", "lowpass")))
-        fir = np.asarray(self.fir).copy()
-        fir[lane] = ckpt.get("fir_state", 0.0)
-        self.fir = jnp.asarray(fir)
-
-    def reset_lane(self, lane: int):
-        """Reuse a finished lane for a new stream."""
-        self._buffers[lane] = bytearray()
-        self._eof[lane] = False
-        self._positions[lane] = 0
-        zero = {"byte_offset": 0, "pending": b"", "eof": False, "fir_state": 0.0,
-                "codec_state": {f: 0 for f in ("charge", "strength", "previous_bit", "previous_charge", "lowpass")}}
-        self.restore(lane, zero)
+        self.codec = codec

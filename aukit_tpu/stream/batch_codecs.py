@@ -1,0 +1,311 @@
+"""Device decode paths for the batched multi-stream engine (stream/batch.py).
+
+Each codec gets ONE pure, jittable function ``uint8[L, in_bytes] ->
+float32[L, in_samples]`` (mono, loader-normalized) so a group's whole step —
+byte parse -> codec kernel -> channel mixdown -> resample/FIR/int8 — fuses
+into a single device dispatch (SURVEY.md §7 item 5). Block codecs (IMA/MS
+ADPCM via WAV block layout, aukit.lua:1511/1543; QOA frames, aukit.lua:1713)
+carry their state in-band, so a chunk of K blocks decodes as K extra kernel
+lanes with NO carried codec state; only DFPWM threads decoder state across
+steps (aukit.lua:2446-2468).
+
+Geometry: every group consumes a fixed byte count per step chosen so the
+decoded sample count is ~1 second of input (the reference's per-second stream
+batching, aukit.lua:2617-2619), then resamples to CONFIG.output_rate.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs.adpcm import MSADPCM_DEFAULT_COEFFS, ima_adpcm_scan, msadpcm_scan
+from ..codecs.dfpwm import DfpwmState, dfpwm_decode
+from ..codecs.qoa import QOA_DEQUANT, qoa_lms_scan
+
+CODECS = ("dfpwm", "pcm8", "pcm16", "ulaw", "alaw", "ima", "msadpcm", "qoa")
+
+QOA_SLICES_PER_FRAME = 256
+QOA_SAMPLES_PER_FRAME = QOA_SLICES_PER_FRAME * 20  # 5120
+
+
+@dataclasses.dataclass(frozen=True)
+class LaneSpec:
+    """One stream's decode parameters. Lanes with equal specs share a group
+    (one fused dispatch, one resample plan — VERDICT r1 item 2)."""
+
+    codec: str
+    sample_rate: int = 48000
+    channels: int = 1
+    block_align: int = 0  # ima / msadpcm block size in bytes
+    chunk_bytes: int = 0  # override input bytes/step (0 = ~1 s of input)
+
+    def __post_init__(self):
+        if self.codec not in CODECS:
+            raise ValueError(f"unsupported batch codec {self.codec!r}")
+        if self.codec in ("ima", "msadpcm"):
+            hdr = (4 if self.codec == "ima" else 7) * self.channels
+            if self.block_align <= hdr:
+                raise ValueError(f"{self.codec} needs block_align > {hdr}")
+        if self.codec == "dfpwm" and self.channels != 1:
+            raise ValueError("dfpwm batch lanes are mono; use one lane per channel")
+        if self.channels not in (1, 2) and self.codec in ("ima", "msadpcm", "qoa"):
+            raise ValueError(f"{self.codec} batch lanes support 1-2 channels")
+
+
+def geometry(spec: LaneSpec) -> tuple[int, int]:
+    """(in_bytes, in_samples) consumed/decoded per lane per step."""
+    r, ch, ba = spec.sample_rate, spec.channels, spec.block_align
+    if spec.codec == "dfpwm":
+        n = spec.chunk_bytes or r // 8
+        return n, n * 8
+    if spec.codec in ("pcm8", "ulaw", "alaw"):
+        n = spec.chunk_bytes or r * ch
+        return n, n // ch
+    if spec.codec == "pcm16":
+        n = spec.chunk_bytes or 2 * r * ch
+        return n, n // (2 * ch)
+    if spec.codec == "ima":
+        spb = (ba - 4 * ch) * 2 // ch
+        k = max(1, -(-spec.chunk_bytes // ba)) if spec.chunk_bytes else -(-r // spb)
+        return k * ba, k * spb
+    if spec.codec == "msadpcm":
+        spb = (ba - 7 * ch) * 2 // ch + 2
+        k = max(1, -(-spec.chunk_bytes // ba)) if spec.chunk_bytes else -(-r // spb)
+        return k * ba, k * spb
+    # qoa
+    fb = 8 + ch * (16 + QOA_SLICES_PER_FRAME * 8)
+    k = max(1, -(-spec.chunk_bytes // fb)) if spec.chunk_bytes else -(-r // QOA_SAMPLES_PER_FRAME)
+    return k * fb, k * QOA_SAMPLES_PER_FRAME
+
+
+def _norm16(v: jnp.ndarray) -> jnp.ndarray:
+    """Asymmetric 16-bit normalize (aukit.lua:1255/1765)."""
+    return v.astype(jnp.float32) / jnp.where(v < 0, 32768.0, 32767.0)
+
+
+def _norm8(v: jnp.ndarray) -> jnp.ndarray:
+    return v.astype(jnp.float32) / jnp.where(v < 0, 128.0, 127.0)
+
+
+def _mono(f: jnp.ndarray) -> jnp.ndarray:
+    """[..., C, T] -> [..., T] mean mixdown (aukit.lua:685-687)."""
+    return f if f.ndim == 2 else jnp.mean(f, axis=-2)
+
+
+def _le16(lo: jnp.ndarray, hi: jnp.ndarray) -> jnp.ndarray:
+    v = lo.astype(jnp.int32) | (hi.astype(jnp.int32) << 8)
+    return jnp.where(v >= 32768, v - 65536, v)
+
+
+def _be16(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
+    v = (hi.astype(jnp.int32) << 8) | lo.astype(jnp.int32)
+    return jnp.where(v >= 32768, v - 65536, v)
+
+
+# -- per-codec decoders (bytes -> mono float) ------------------------------------------
+
+def _decode_pcm8(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+    v = b.astype(jnp.int32)
+    v = jnp.where(v >= 128, v - 256, v)
+    L = v.shape[0]
+    f = _norm8(v).reshape(L, -1, spec.channels)
+    return _mono(jnp.moveaxis(f, -1, -2))
+
+
+def _decode_pcm16(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+    v = _le16(b[:, 0::2], b[:, 1::2])
+    L = v.shape[0]
+    f = _norm16(v).reshape(L, -1, spec.channels)
+    return _mono(jnp.moveaxis(f, -1, -2))
+
+
+def _decode_g711(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+    from ..codecs.g711 import decode_g711_device
+
+    f = decode_g711_device(b, spec.codec == "ulaw", spec.channels, 0x2000)
+    return _mono(f)
+
+
+def _decode_ima(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    """WAV-layout IMA blocks (aukit.lua:1511-1541): per-channel 4 B headers,
+    then (stereo) channel-alternating 4-byte nibble groups; low nibble first."""
+    ba, ch = spec.block_align, spec.channels
+    L = b.shape[0]
+    blk = b.reshape(L, -1, ba).astype(jnp.int32)
+    K = blk.shape[1]
+    if ch == 1:
+        pred = _le16(blk[..., 0], blk[..., 1])
+        sidx = blk[..., 2] & 0x0F  # mono header quirk Q13 (aukit.lua:1544)
+        body = blk[..., 4:]
+        nibs = jnp.stack([body & 0x0F, body >> 4], axis=-1).reshape(L, K, -1)
+        lanes = nibs.reshape(L * K, -1)
+        pred0, sidx0 = pred.reshape(-1), sidx.reshape(-1)
+    else:
+        pred_l = _le16(blk[..., 0], blk[..., 1])
+        pred_r = _le16(blk[..., 4], blk[..., 5])
+        # clamp instead of erroring: a malformed lane must not kill the batch
+        # (SURVEY.md §5.3); the strict loader path validates and raises
+        sidx_l = jnp.clip(blk[..., 2], 0, 88)
+        sidx_r = jnp.clip(blk[..., 6], 0, 88)
+        body = blk[..., 8:].reshape(L, K, -1, 2, 4)  # [L, K, groups, chan, 4B]
+        nib2 = jnp.stack([body & 0x0F, body >> 4], axis=-1)  # low nibble first
+        # -> [L, K, chan, groups*8]
+        nibs = jnp.moveaxis(nib2, 3, 2).reshape(L, K, 2, -1)
+        lanes = nibs.reshape(L * K * 2, -1)
+        pred0 = jnp.stack([pred_l, pred_r], axis=-1).reshape(-1)
+        sidx0 = jnp.stack([sidx_l, sidx_r], axis=-1).reshape(-1)
+    if use_pallas:
+        from ..kernels.ima_pallas import ima_decode_pallas
+
+        out, _ = ima_decode_pallas(lanes, pred0, sidx0)
+        out = out.astype(jnp.int32)
+    else:
+        out, _ = ima_adpcm_scan(lanes, pred0, sidx0)
+    if ch == 1:
+        return _norm16(out.reshape(L, -1))
+    f = _norm16(out).reshape(L, K, 2, -1)
+    return _mono(f).reshape(L, -1)
+
+
+def _decode_msadpcm(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    """MS ADPCM blocks (aukit.lua:1283-1353): stereo header <BBhhhhhh with
+    channel-alternating nibbles (hi=L, lo=R); mono header <Bhhh. The two
+    header samples (s2 then s1) are emitted before the predictors."""
+    ba, ch = spec.block_align, spec.channels
+    c1_tbl = jnp.asarray(MSADPCM_DEFAULT_COEFFS[0])
+    c2_tbl = jnp.asarray(MSADPCM_DEFAULT_COEFFS[1])
+    L = b.shape[0]
+    blk = b.reshape(L, -1, ba).astype(jnp.int32)
+    K = blk.shape[1]
+    if ch == 1:
+        pidx = jnp.clip(blk[..., 0], 0, 6).reshape(-1)
+        delta = _le16(blk[..., 1], blk[..., 2]).reshape(-1)
+        s1 = _le16(blk[..., 3], blk[..., 4]).reshape(-1)
+        s2 = _le16(blk[..., 5], blk[..., 6]).reshape(-1)
+        body = blk[..., 7:]
+        nib = jnp.stack([body >> 4, body & 0x0F], axis=-1).reshape(L * K, -1)
+    else:
+        pidx = jnp.clip(blk[..., 0:2], 0, 6)
+        delta_l = _le16(blk[..., 2], blk[..., 3])
+        delta_r = _le16(blk[..., 4], blk[..., 5])
+        s1_l = _le16(blk[..., 6], blk[..., 7])
+        s1_r = _le16(blk[..., 8], blk[..., 9])
+        s2_l = _le16(blk[..., 10], blk[..., 11])
+        s2_r = _le16(blk[..., 12], blk[..., 13])
+        body = blk[..., 14:]
+        nib_lr = jnp.stack([body >> 4, body & 0x0F], axis=-2)  # [L, K, 2, T]
+        nib = nib_lr.reshape(L * K * 2, -1)
+        pidx = pidx.reshape(-1)
+        delta = jnp.stack([delta_l, delta_r], axis=-1).reshape(-1)
+        s1 = jnp.stack([s1_l, s1_r], axis=-1).reshape(-1)
+        s2 = jnp.stack([s2_l, s2_r], axis=-1).reshape(-1)
+    nib = jnp.where(nib >= 8, nib - 16, nib)
+    if ch == 1:
+        c1, c2 = jnp.take(c1_tbl, pidx), jnp.take(c2_tbl, pidx)
+        if use_pallas:
+            from ..kernels.msadpcm_pallas import msadpcm_decode_pallas
+
+            preds, _ = msadpcm_decode_pallas(nib, s1, s2, delta, c1, c2)
+        else:
+            preds = msadpcm_scan(nib, c1, c2, delta, s1, s2)
+        full = jnp.concatenate(
+            [s2[:, None], s1[:, None], preds], axis=1
+        ).reshape(L, -1)
+        return _norm16(full)
+    c1, c2 = jnp.take(c1_tbl, pidx), jnp.take(c2_tbl, pidx)
+    if use_pallas:
+        from ..kernels.msadpcm_pallas import msadpcm_decode_pallas
+
+        preds, _ = msadpcm_decode_pallas(nib, s1, s2, delta, c1, c2)
+    else:
+        preds = msadpcm_scan(nib, c1, c2, delta, s1, s2)
+    full = jnp.concatenate([s2[:, None], s1[:, None], preds], axis=1)  # [L*K*2, 2+T]
+    f = _norm16(full).reshape(L, K, 2, -1)
+    return _mono(f).reshape(L, -1)
+
+
+def _decode_qoa(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+    """QOA frames (aukit.lua:1713-1775): 8 B header + per-channel LMS state +
+    64-bit big-endian slices interleaved one-per-channel per 20-sample group.
+    Residual extraction is pure uint32 shift/mask math on the VPU; samples
+    beyond the header's sample count (short trailing frames) are masked."""
+    ch = spec.channels
+    fb = 8 + ch * (16 + QOA_SLICES_PER_FRAME * 8)
+    L = b.shape[0]
+    blk = b.reshape(L, -1, fb)
+    K = blk.shape[1]
+    samples = (blk[..., 4].astype(jnp.int32) << 8) | blk[..., 5].astype(jnp.int32)
+    hdr = blk[..., 8 : 8 + 16 * ch].astype(jnp.int32).reshape(L, K, ch, 2, 4, 2)
+    state16 = _be16(hdr[..., 0], hdr[..., 1])  # [L, K, ch, 2, 4]
+    hist = state16[..., 0, :].reshape(L * K * ch, 4)
+    wts = state16[..., 1, :].reshape(L * K * ch, 4)
+    sl = blk[..., 8 + 16 * ch :].astype(jnp.uint32)
+    sl = sl.reshape(L, K, QOA_SLICES_PER_FRAME, ch, 8)
+    hi = (sl[..., 0] << 24) | (sl[..., 1] << 16) | (sl[..., 2] << 8) | sl[..., 3]
+    lo = (sl[..., 4] << 24) | (sl[..., 5] << 16) | (sl[..., 6] << 8) | sl[..., 7]
+    sf = (hi >> 28).astype(jnp.int32)  # [L, K, S, ch]
+    res = []
+    for i in range(20):
+        pos = 57 - 3 * i  # LSB index of residual i within the 64-bit slice
+        if pos >= 32:
+            r = (hi >> (pos - 32)) & 7
+        elif pos == 30:  # straddles the word boundary (i == 9)
+            r = ((hi & 1) << 2) | (lo >> 30)
+        else:
+            r = (lo >> pos) & 7
+        res.append(r.astype(jnp.int32))
+    res = jnp.stack(res, axis=-1)  # [L, K, S, ch, 20]
+    dq_flat = jnp.asarray(QOA_DEQUANT.reshape(-1))
+    dq = jnp.take(dq_flat, sf[..., None] * 8 + res)  # [L, K, S, ch, 20]
+    dq = jnp.moveaxis(dq, 3, 2).reshape(L * K * ch, -1)  # [L*K*ch, 5120]
+    recon, _ = qoa_lms_scan(dq, hist, wts)
+    recon = recon.reshape(L, K, ch, QOA_SAMPLES_PER_FRAME)
+    t = jnp.arange(QOA_SAMPLES_PER_FRAME, dtype=jnp.int32)
+    recon = jnp.where(t[None, None, None, :] < samples[..., None, None], recon, 0)
+    return _norm16(_mono(recon)).reshape(L, -1)
+
+
+def build_decoder(spec: LaneSpec, use_pallas: bool):
+    """Return (fn, stateful): fn(bytes_u8, state) -> (f32[L, in_samples], state).
+    Only DFPWM threads codec state between steps; all block codecs read their
+    state in-band. ``fn`` is pure/jittable (Pallas calls trace under jit)."""
+    if spec.codec == "dfpwm":
+        if use_pallas:
+            from ..kernels.dfpwm_pallas import dfpwm_decode_pallas
+
+            def fn(b, state):
+                decoded, new_state = dfpwm_decode_pallas(b, state)
+                return _norm8(decoded.astype(jnp.int32)), new_state
+        else:
+            def fn(b, state):
+                decoded, new_state = dfpwm_decode(b, state)
+                return _norm8(decoded), new_state
+        return fn, True
+    decoders = {
+        "pcm8": _decode_pcm8,
+        "pcm16": _decode_pcm16,
+        "ulaw": _decode_g711,
+        "alaw": _decode_g711,
+        "qoa": _decode_qoa,
+    }
+    if spec.codec in ("ima", "msadpcm"):
+        base = _decode_ima if spec.codec == "ima" else _decode_msadpcm
+
+        def fn(b, state):
+            return base(spec, b, use_pallas), state
+    else:
+        dec = decoders[spec.codec]
+
+        def fn(b, state):
+            return dec(spec, b), state
+    return fn, False
+
+
+def init_state(spec: LaneSpec, lanes: int):
+    if spec.codec == "dfpwm":
+        return DfpwmState.zeros(lanes)
+    return ()

@@ -143,3 +143,190 @@ def test_batch_g711_and_pcm8_codecs():
     eng2.feed(0, None)
     c2, m2, _ = eng2.step()
     assert m2[0] and c2.shape[1] == 4800
+
+
+# -- round-2: generalized multi-codec engine (VERDICT r1 items 2+3) ---------------------
+
+import math
+
+from aukit_tpu.stream.batch import BatchStreamEngine, LaneSpec
+from tests import fixtures
+from tests.ref import codecs as refc
+
+
+def dsp_ref(s, in_rate, out_rate=48000, fir0=0.0):
+    """Float replica of parallel.pipeline.dsp_chain: linear resample with the
+    integer gather tables + one-pole FIR + asymmetric int8 quantize."""
+    s = np.asarray(s, np.float32)
+    n_in = len(s)
+    n_out = n_in * out_rate // in_rate
+    i = np.arange(n_out, dtype=np.int64)
+    ffx = i * in_rate // out_rate
+    frac = ((i * in_rate - ffx * out_rate).astype(np.float32) / out_rate).astype(np.float32)
+    p1, p2 = s[ffx], s[np.minimum(ffx + 1, n_in - 1)]
+    x = (p1 + (p2 - p1) * frac).astype(np.float32)
+    alpha = np.float32(1.0 - math.exp(-(in_rate / (out_rate * 2)) * 2 * math.pi))
+    prev = np.concatenate([[np.float32(fir0)], x[:-1]])
+    out = prev + alpha * (x - prev)
+    out = out * np.where(out < 0, 128.0, 127.0)
+    return np.clip(out, -128, 127).astype(np.int8), float(x[-1])
+
+
+def norm16f(v):
+    v = np.asarray(v, np.float64)
+    return (v / np.where(v < 0, 32768.0, 32767.0)).astype(np.float32)
+
+
+def run_engine(specs, feeds):
+    eng = BatchStreamEngine(specs)
+    for lane, data in enumerate(feeds):
+        eng.feed(lane, data)
+        eng.feed(lane, None)
+    outs = [[] for _ in specs]
+    while True:
+        r = eng.step()
+        if r is None:
+            break
+        chunk, mask, pos = r
+        for i in range(len(specs)):
+            if mask[i]:
+                outs[i].append(np.asarray(chunk[i]))
+    return [np.concatenate(o) if o else np.zeros(0, np.int8) for o in outs], eng
+
+
+def test_batch_pcm16_mixed_rates():
+    """PCM16 lanes at two different rates in ONE engine (per-rate groups)."""
+    rate_a, rate_b = 48000, 24000
+    sa = (np.sin(np.arange(rate_a) / 9.0) * 20000).astype(np.int16)
+    sb = (np.cos(np.arange(rate_b) / 5.0) * 15000).astype(np.int16)
+    specs = [LaneSpec("pcm16", rate_a), LaneSpec("pcm16", rate_b)]
+    outs, eng = run_engine(specs, [sa.tobytes(), sb.tobytes()])
+    for s, rate, got in ((sa, rate_a, outs[0]), (sb, rate_b, outs[1])):
+        exp, _ = dsp_ref(norm16f(s.astype(np.int64)), rate)
+        assert len(got) == 48000
+        np.testing.assert_allclose(got[: len(exp)], exp, atol=1)
+
+
+def test_batch_ima_matches_reference():
+    ba, rate = 256, 8000
+    spb = (ba - 4) * 2  # 504
+    k = -(-rate // spb)  # blocks per step
+    payload = fixtures.ima_wav_blocks(RNG, k, ba, 1)
+    exp_samples = []
+    for b in range(k):
+        block = payload[b * ba : (b + 1) * ba]
+        pred = int.from_bytes(block[0:2], "little", signed=True)
+        idx = block[2] & 0x0F
+        nibs = refc.nibbles_from_bytes(block[4:], top_first=False)
+        exp_samples += refc.ima_ref(nibs, pred, idx)
+    exp, _ = dsp_ref(norm16f(np.array(exp_samples)), rate)
+    outs, _ = run_engine([LaneSpec("ima", rate, 1, block_align=ba)], [payload])
+    got = outs[0][: len(exp)]
+    np.testing.assert_allclose(got, exp, atol=1)
+
+
+def test_batch_ima_stereo_mixdown():
+    ba, rate = 128, 8000
+    spb = ba - 8  # per-channel samples per block
+    k = -(-rate // spb)
+    payload = fixtures.ima_wav_blocks(RNG, k, ba, 2)
+    import struct as _s
+
+    exp_l, exp_r = [], []
+    for b in range(k):
+        block = payload[b * ba : (b + 1) * ba]
+        predl, idxl = _s.unpack_from("<hB", block, 0)
+        predr, idxr = _s.unpack_from("<hB", block, 4)
+        nl, nr = [], []
+        for g in range(8, ba, 8):
+            for byte in block[g : g + 4]:
+                nl += [byte & 0x0F, byte >> 4]
+            for byte in block[g + 4 : g + 8]:
+                nr += [byte & 0x0F, byte >> 4]
+        exp_l += refc.ima_ref(nl, predl, idxl)
+        exp_r += refc.ima_ref(nr, predr, idxr)
+    mono = (norm16f(np.array(exp_l)) + norm16f(np.array(exp_r))) / 2
+    exp, _ = dsp_ref(mono, rate)
+    outs, _ = run_engine([LaneSpec("ima", rate, 2, block_align=ba)], [payload])
+    np.testing.assert_allclose(outs[0][: len(exp)], exp, atol=1)
+
+
+def test_batch_msadpcm_matches_reference():
+    ba, rate = 256, 16000
+    spb = (ba - 7) * 2 + 2
+    k = -(-rate // spb)
+    sig = (np.sin(np.arange(k * spb) / 17.0) * 9000).astype(np.int64)[None, :]
+    payload = fixtures.ms_encode(sig, ba)
+    # engine uses REAL per-block headers (the fixed semantics, not quirk Q4)
+    exp_samples = refc.msadpcm_ref(payload, ba, 1, mono_header_from_first_block=False)[0]
+    exp, _ = dsp_ref(norm16f(exp_samples), rate)
+    outs, _ = run_engine([LaneSpec("msadpcm", rate, 1, block_align=ba)], [payload])
+    np.testing.assert_allclose(outs[0][: len(exp)], exp, atol=1)
+
+
+def test_batch_qoa_matches_reference():
+    rate = 10240  # 2 full frames per step
+    # trailing slack: the reference's frame-size check needs 8 spare bytes
+    # after the last frame (same padding as the golden corpus)
+    data = fixtures.qoa_stream(RNG, 1, rate, [5120, 5120]) + b"\x00" * 8
+    exp_samples = refc.qoa_ref(data)[0][0]
+    exp, _ = dsp_ref(norm16f(exp_samples), rate)
+    frames = data[8:]  # engine lanes carry raw frame streams
+    outs, _ = run_engine([LaneSpec("qoa", rate, 1)], [frames])
+    np.testing.assert_allclose(outs[0][: len(exp)], exp, atol=1)
+
+
+def test_batch_mixed_fleet():
+    """DFPWM + PCM16@44.1k + IMA@8k + ulaw@8k in ONE engine: per-lane outputs
+    match each codec's homogeneous run; output is uniform 1 s windows."""
+    dfpwm_bytes = bytes(RNG.integers(0, 256, 6000, dtype=np.uint8))
+    pcm = (np.sin(np.arange(44100) / 7.0) * 12000).astype(np.int16).tobytes()
+    ba = 256
+    ima = fixtures.ima_wav_blocks(RNG, 16, ba, 1)
+    ulaw = bytes(RNG.integers(0, 256, 8000, dtype=np.uint8))
+    specs = [
+        LaneSpec("dfpwm", 48000),
+        LaneSpec("pcm16", 44100),
+        LaneSpec("ima", 8000, 1, block_align=ba),
+        LaneSpec("ulaw", 8000),
+    ]
+    outs, eng = run_engine(specs, [dfpwm_bytes, pcm, ima, ulaw])
+    assert eng.metrics.samples_decoded > 0
+    for i, (spec, feed) in enumerate(zip(specs, [dfpwm_bytes, pcm, ima, ulaw])):
+        solo = run_engine([spec], [feed])[0][0]
+        n = min(len(solo), len(outs[i]))
+        assert n > 0
+        np.testing.assert_array_equal(outs[i][:n], solo[:n])
+
+
+def test_batch_bulk_feed_matches_per_lane():
+    """feed_array (vectorized view staging) must be bit-identical to feed()."""
+    L, B = 5, 12000
+    data = RNG.integers(0, 256, (L, B), dtype=np.uint8)
+    eng_a = BatchDfpwmDecoder(L, 48000, chunk_bytes=6000)
+    eng_a.feed_array(data, eof=True)
+    eng_b = BatchDfpwmDecoder(L, 48000, chunk_bytes=6000)
+    for i in range(L):
+        eng_b.feed(i, data[i].tobytes())
+        eng_b.feed(i, None)
+    while True:
+        ra, rb = eng_a.step(), eng_b.step()
+        if ra is None or rb is None:
+            assert ra is None and rb is None
+            break
+        np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rb[0]))
+        np.testing.assert_array_equal(ra[1], rb[1])
+    assert eng_a.done and eng_b.done
+
+
+def test_batch_bulk_feed_segmented():
+    """Bulk segments smaller than the chunk assemble across segment borders."""
+    L = 2
+    full = RNG.integers(0, 256, (L, 6000), dtype=np.uint8)
+    eng = BatchDfpwmDecoder(L, 48000, chunk_bytes=6000)
+    eng.feed_array(full[:, :2500], eof=False)
+    eng.feed_array(full[:, 2500:], eof=True)
+    ref = BatchDfpwmDecoder(L, 48000, chunk_bytes=6000)
+    ref.feed_array(full, eof=True)
+    ra, rb = eng.step(), ref.step()
+    np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rb[0]))
