@@ -373,37 +373,68 @@ def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_nativ
 
 def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, depth: int):
     """Batched LPC restore across all subframes, then per-frame stereo
-    decorrelation + sign wrap. Returns int64[C, N] raw samples."""
+    decorrelation + sign wrap. Returns int64[C, N] raw samples.
+
+    The restore runs in place on the parser's FLAT values (one contiguous
+    span per subframe) — no padded-matrix staging; the typical uniform file
+    (constant block size + one stereo mode, short final frame at most)
+    decorrelates in one vectorized reshape pass."""
     S = len(sub["order"])
     if S == 0:
         return np.zeros((channels, 0), np.int64)
-    T = int(sub["block"].max())
-    vals = np.zeros((S, T), np.int64)
     offs = np.concatenate([[0], np.cumsum(sub["block"])])
-    for i in range(S):
-        vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
     from ..native import flacbits as _nb
 
     if _nb.available():
-        restored = _nb.restore_lpc(vals, sub["block"], sub["order"], sub["shift"], coefs)
+        restored_flat = _nb.restore_lpc_flat(
+            values_flat, offs[:-1], sub["block"], sub["order"], sub["shift"],
+            sub["wasted"], coefs)
     else:
+        T = int(sub["block"].max())
+        vals = np.zeros((S, T), np.int64)
+        for i in range(S):
+            vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
         restored = restore_lpc_batch(vals, coefs, sub["shift"], sub["order"])
-    restored <<= sub["wasted"][:, None]
-    out_chunks = [[] for _ in range(channels)]
+        restored <<= sub["wasted"][:, None]
+        restored_flat = np.concatenate(
+            [restored[i, : sub["block"][i]] for i in range(S)]
+        ) if S else np.zeros(0, np.int64)
     half = 1 << (depth - 1)
     full = 1 << depth
+    fbs = frame_meta[:, 0].astype(np.int64)
+    fca = frame_meta[:, 1].astype(np.int64)
+    uniform = (fbs == fbs[0]) & (fca == fca[0])
+    F0 = int(np.argmin(uniform)) if not uniform.all() else len(frame_meta)
+    parts = []
     idx = 0
-    for block_size, chan_asgn in frame_meta:
+    if F0:
+        block_size, chan_asgn = int(fbs[0]), int(fca[0])
+        nsubs = channels if chan_asgn <= 7 else 2
+        rows = restored_flat[: F0 * nsubs * block_size].reshape(F0, nsubs, block_size)
+        chans = decorrelate(np.moveaxis(rows, 1, 0), chan_asgn)
+        out = np.zeros((channels, F0, block_size), np.int64)
+        for c in range(min(channels, len(chans))):
+            out[c] = chans[c]
+        out = np.where(out >= half, out - full, out)
+        parts.append(out.reshape(channels, -1))
+        idx = F0 * nsubs
+    out_chunks = [[] for _ in range(channels)]
+    for block_size, chan_asgn in frame_meta[F0:]:
         block_size = int(block_size)
         nsubs = channels if chan_asgn <= 7 else 2
-        rows = restored[idx : idx + nsubs, :block_size]
+        rows = np.stack([
+            restored_flat[offs[idx + c] : offs[idx + c] + block_size]
+            for c in range(nsubs)
+        ])
         idx += nsubs
         chans = decorrelate(rows, int(chan_asgn))
         for c in range(channels):
             s = chans[c] if c < len(chans) else np.zeros(block_size, np.int64)
             s = np.where(s >= half, s - full, s)
             out_chunks[c].append(s)
-    return np.stack([np.concatenate(ch) for ch in out_chunks])
+    if out_chunks[0]:
+        parts.append(np.stack([np.concatenate(ch) for ch in out_chunks]))
+    return np.concatenate(parts, axis=1) if parts else np.zeros((channels, 0), np.int64)
 
 
 def decorrelate(rows: np.ndarray, chan_asgn: int):

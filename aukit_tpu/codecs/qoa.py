@@ -71,8 +71,14 @@ def qoa_lms_scan(dequantized: jnp.ndarray, history: jnp.ndarray, weights: jnp.nd
 
 
 def qoa_lms_batched(dq: np.ndarray, hist: np.ndarray, wts: np.ndarray) -> np.ndarray:
-    """LMS reconstruction on the fastest available backend: native C++ on the
-    host (loader path), else the jitted lax.scan."""
+    """LMS reconstruction on the fastest available backend: the Pallas kernel
+    for big TPU batches, native C++ on the host otherwise (loader path), else
+    the jitted lax.scan."""
+    if jax.default_backend() == "tpu" and dq.shape[0] * dq.shape[1] >= 1 << 22:
+        from ..kernels.qoa_pallas import qoa_lms_pallas
+
+        out, _ = qoa_lms_pallas(dq, hist, wts)
+        return np.asarray(out)
     from ..native import flacbits as _nb
 
     if _nb.available():
@@ -129,6 +135,97 @@ def parse_qoa_frames(data: bytes, pos: int, file_channels: int, file_sample_rate
     return frames, sample_pos
 
 
+def walk_qoa_headers(data: bytes, pos: int, file_channels: int, file_sample_rate: int,
+                     file_samples: int):
+    """Cheap first pass: (pos, samples, frame_size) per valid frame, applying
+    the reference's lenient break conditions (aukit.lua:1732-1740)."""
+    metas = []
+    sample_pos = 0
+    n = len(data)
+    while pos + 16 * file_channels + 8 <= n and sample_pos < file_samples:
+        channels, samplerate_hi, samples, frame_size = struct.unpack_from(">B3sHH", data, pos)
+        samplerate = int.from_bytes(samplerate_hi, "big")
+        data_size = frame_size - 8 - 4 * 4 * channels
+        num_slices = data_size // 8
+        if (
+            channels != file_channels
+            or samplerate != file_sample_rate
+            or frame_size > n - pos - 8
+            or samples * channels > num_slices * 20
+        ):
+            break
+        metas.append((pos, samples, frame_size))
+        sample_pos += samples
+        pos += frame_size
+    return metas, sample_pos
+
+
+def _extract_run(blk: np.ndarray, channels: int):
+    """Vectorized state+slice extraction over a run of equal-size frames.
+    blk: uint8[F, frame_size] -> (dq int32[F, C, S*20], hist, wts int32[F,C,4],
+    samples int32[F])."""
+    F, fs = blk.shape
+    samples = (blk[:, 4].astype(np.int32) << 8) | blk[:, 5]
+    hdr = blk[:, 8 : 8 + 16 * channels]
+    state16 = hdr.reshape(F, -1, 2)
+    s = ((state16[..., 0].astype(np.int32) << 8) | state16[..., 1]).astype(np.int32)
+    s = np.where(s >= 32768, s - 65536, s).reshape(F, channels, 2, 4)
+    hist, wts = s[:, :, 0], s[:, :, 1]
+    nslices_per_ch = (fs - 8 - 16 * channels) // (8 * channels)
+    nbytes = nslices_per_ch * channels * 8
+    sl = np.ascontiguousarray(blk[:, 8 + 16 * channels : 8 + 16 * channels + nbytes])
+    slices = sl.view(">u8").astype(np.uint64).reshape(F, nslices_per_ch, channels)
+    sf = (slices >> np.uint64(60)).astype(np.int64)
+    shifts = (57 - 3 * np.arange(20, dtype=np.uint64)).astype(np.uint64)
+    res = ((slices[..., None] >> shifts) & np.uint64(7)).astype(np.int64)
+    dq = QOA_DEQUANT[sf[..., None], res]  # [F, S, C, 20]
+    dq = np.moveaxis(dq, 2, 1).reshape(F, channels, -1)
+    return dq.astype(np.int32), hist, wts, samples
+
+
+def parse_qoa_bulk(data: bytes, pos: int, file_channels: int, file_sample_rate: int,
+                   file_samples: int):
+    """Whole-stream vectorized parse: contiguous equal-size frame runs extract
+    in ONE numpy pass each (a real file is one run of full frames + a short
+    tail, so the per-frame Python loop of the naive walk disappears).
+
+    Returns (dq int32[F, C, Tmax], hist, wts int32[F, C, 4], samples int32[F])
+    or None when no frame is valid."""
+    metas, _ = walk_qoa_headers(data, pos, file_channels, file_sample_rate, file_samples)
+    if not metas:
+        return None
+    raw = np.frombuffer(data, np.uint8)
+    runs = []  # (start_index, count, frame_size)
+    i = 0
+    while i < len(metas):
+        p0, _, fs = metas[i]
+        j = i + 1
+        while j < len(metas) and metas[j][2] == fs and metas[j][0] == p0 + (j - i) * fs:
+            j += 1
+        runs.append((i, j - i, fs))
+        i = j
+    parts = []
+    for start, count, fs in runs:
+        p0 = metas[start][0]
+        blk = raw[p0 : p0 + count * fs].reshape(count, fs)
+        parts.append(_extract_run(blk, file_channels))
+    tmax = max(p[0].shape[2] for p in parts)
+    F = len(metas)
+    dq = np.zeros((F, file_channels, tmax), np.int32)
+    hist = np.zeros((F, file_channels, 4), np.int32)
+    wts = np.zeros((F, file_channels, 4), np.int32)
+    samples = np.zeros(F, np.int32)
+    at = 0
+    for d, h, w, smp in parts:
+        c = d.shape[0]
+        dq[at : at + c, :, : d.shape[2]] = d
+        hist[at : at + c] = h
+        wts[at : at + c] = w
+        samples[at : at + c] = smp
+        at += c
+    return dq, hist, wts, samples
+
+
 def decode_qoa(data: bytes):
     """QOA bytes -> (int32[C, N] reconstructed samples, sample_rate, file_samples)."""
     try:
@@ -139,24 +236,16 @@ def decode_qoa(data: bytes):
         raise ValueError("Not a QOA file")
     file_channels = data[8]
     file_sample_rate = int.from_bytes(data[9:12], "big")
-    frames, _total = parse_qoa_frames(data, 8, file_channels, file_sample_rate, file_samples)
-    if not frames:
+    parsed = parse_qoa_bulk(data, 8, file_channels, file_sample_rate, file_samples)
+    if parsed is None:
         return np.zeros((file_channels, 0), np.int32), file_sample_rate, file_samples
-    tmax = max(f["dequant"].shape[1] for f in frames)
-    F, C = len(frames), file_channels
-    dq = np.zeros((F, C, tmax), np.int32)
-    hist = np.zeros((F, C, 4), np.int32)
-    wts = np.zeros((F, C, 4), np.int32)
-    for i, f in enumerate(frames):
-        dq[i, :, : f["dequant"].shape[1]] = f["dequant"]
-        hist[i] = f["history"]
-        wts[i] = f["weights"]
+    dq, hist, wts, samples = parsed
+    F, C, tmax = dq.shape
     out = qoa_lms_batched(dq.reshape(F * C, tmax), hist.reshape(F * C, 4), wts.reshape(F * C, 4))
     out = out.reshape(F, C, tmax)
-    chans = [
-        np.concatenate([out[i, c, : frames[i]["samples"]] for i in range(F)])
-        for c in range(C)
-    ]
+    # per-frame sample masks -> one flat gather per channel (no Python loop)
+    keep = np.arange(tmax)[None, :] < samples[:, None]  # [F, tmax]
+    chans = [out[:, c][keep] for c in range(C)]
     return np.stack(chans), file_sample_rate, file_samples
 
 

@@ -74,6 +74,8 @@ def _load():
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.flac_restore_flat.restype = None
+        lib.flac_restore_flat.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 7 + [ctypes.c_int64]
         lib.qoa_lms.restype = None
         lib.qoa_lms.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -146,6 +148,23 @@ def qoa_lms(dequantized: np.ndarray, history: np.ndarray, weights: np.ndarray):
     lib.qoa_lms(dq.ctypes.data_as(p), out.ctypes.data_as(p),
                 hist.ctypes.data_as(p), wts.ctypes.data_as(p), L, T)
     return out, hist, wts
+
+
+def restore_lpc_flat(flat: np.ndarray, offsets: np.ndarray, blocks: np.ndarray,
+                     orders: np.ndarray, shifts: np.ndarray, wasted: np.ndarray,
+                     coefs: np.ndarray) -> np.ndarray:
+    """In-place LPC restore + wasted-bits shift on the parser's flat int64
+    values (one contiguous span per subframe) — no padded-matrix staging."""
+    lib = _load()
+    assert lib is not None
+    flat = np.ascontiguousarray(flat, np.int64)
+    p = ctypes.POINTER(ctypes.c_int64)
+    # hold references: ascontiguousarray temporaries must outlive the C call
+    arrs = [np.ascontiguousarray(a, np.int64)
+            for a in (offsets, blocks, orders, shifts, wasted, coefs)]
+    lib.flac_restore_flat(flat.ctypes.data_as(p), *(a.ctypes.data_as(p) for a in arrs),
+                          len(blocks))
+    return flat
 
 
 def restore_lpc(values: np.ndarray, blocks: np.ndarray, orders: np.ndarray,

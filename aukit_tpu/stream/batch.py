@@ -227,7 +227,7 @@ class _Group:
             use_pallas = (
                 jax.default_backend() == "tpu"
                 and mesh is None
-                and spec.codec in ("dfpwm", "ima", "msadpcm")
+                and spec.codec in ("dfpwm", "ima", "msadpcm", "qoa")
                 and self.lanes * self.in_samples >= 1 << 20
             )
         self.use_pallas = use_pallas

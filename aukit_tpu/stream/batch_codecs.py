@@ -228,7 +228,7 @@ def _decode_msadpcm(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.nda
     return _mono(f).reshape(L, -1)
 
 
-def _decode_qoa(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+def _decode_qoa(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """QOA frames (aukit.lua:1713-1775): 8 B header + per-channel LMS state +
     64-bit big-endian slices interleaved one-per-channel per 20-sample group.
     Residual extraction is pure uint32 shift/mask math on the VPU; samples
@@ -262,7 +262,12 @@ def _decode_qoa(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
     dq_flat = jnp.asarray(QOA_DEQUANT.reshape(-1))
     dq = jnp.take(dq_flat, sf[..., None] * 8 + res)  # [L, K, S, ch, 20]
     dq = jnp.moveaxis(dq, 3, 2).reshape(L * K * ch, -1)  # [L*K*ch, 5120]
-    recon, _ = qoa_lms_scan(dq, hist, wts)
+    if use_pallas:
+        from ..kernels.qoa_pallas import qoa_lms_pallas
+
+        recon, _ = qoa_lms_pallas(dq, hist, wts)
+    else:
+        recon, _ = qoa_lms_scan(dq, hist, wts)
     recon = recon.reshape(L, K, ch, QOA_SAMPLES_PER_FRAME)
     t = jnp.arange(QOA_SAMPLES_PER_FRAME, dtype=jnp.int32)
     recon = jnp.where(t[None, None, None, :] < samples[..., None, None], recon, 0)
@@ -290,10 +295,9 @@ def build_decoder(spec: LaneSpec, use_pallas: bool):
         "pcm16": _decode_pcm16,
         "ulaw": _decode_g711,
         "alaw": _decode_g711,
-        "qoa": _decode_qoa,
     }
-    if spec.codec in ("ima", "msadpcm"):
-        base = _decode_ima if spec.codec == "ima" else _decode_msadpcm
+    if spec.codec in ("ima", "msadpcm", "qoa"):
+        base = {"ima": _decode_ima, "msadpcm": _decode_msadpcm, "qoa": _decode_qoa}[spec.codec]
 
         def fn(b, state):
             return base(spec, b, use_pallas), state

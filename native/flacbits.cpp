@@ -32,11 +32,25 @@ struct BitReader {
 
     BitReader(const uint8_t* d, size_t l, size_t p) : data(d), len(l), pos(p) {}
 
+    // Bulk refill: one unaligned 64-bit load + bswap tops the buffer up to
+    // >= 57 bits (vs the naive byte loop) — the parse hot path is dominated
+    // by refills, so this is the main throughput lever for Rice decode.
     bool fill(int bits) {
         while (n < bits) {
-            if (pos >= len) return false;
-            buf = (buf << 8) | data[pos++];
-            n += 8;
+            if (pos + 8 <= len && n <= 55) {
+                uint64_t w;
+                memcpy(&w, data + pos, 8);
+                w = __builtin_bswap64(w);
+                int k = (63 - n) >> 3;  // bytes that fit (>= 1 since n <= 55)
+                buf = (buf << (8 * k)) | (w >> (64 - 8 * k));
+                pos += (size_t)k;
+                n += 8 * k;
+            } else if (pos < len) {
+                buf = (buf << 8) | data[pos++];
+                n += 8;
+            } else {
+                return false;
+            }
         }
         return true;
     }
@@ -61,9 +75,7 @@ struct BitReader {
         int64_t q = 0;
         for (;;) {
             if (n == 0) {
-                if (pos >= len) { error = true; return 0; }
-                buf = data[pos++];
-                n = 8;
+                if (!fill(1)) { error = true; return 0; }
             }
             if (buf == 0) { q += n; n = 0; continue; }
             int top = 64 - __builtin_clzll(buf);  // bit_length
@@ -149,7 +161,44 @@ static bool decode_residuals(BitReader& br, int warmup, int block_size,
         uint32_t param = br.u(param_bits);
         if (br.error) { *err = 7; return false; }
         if (param < escape) {
-            for (int j = start; j < end; j++) out[j] = br.rice((int)param);
+            // Fused Rice loop: bit-reader state in registers, one bulk refill
+            // check per sample; falls back to the generic reader for long
+            // unary runs or the stream tail. This is THE parse hot loop
+            // (aukit.lua:380-409) — >2x over per-field reader calls.
+            uint64_t buf = br.buf;
+            int n = br.n;
+            size_t pos = br.pos;
+            const uint8_t* data = br.data;
+            size_t fast_len = br.len >= 8 ? br.len - 8 : 0;
+            int p = (int)param;
+            int j = start;
+            for (; j < end; j++) {
+                if (n <= 40 && pos <= fast_len) {
+                    uint64_t w;
+                    memcpy(&w, data + pos, 8);
+                    w = __builtin_bswap64(w);
+                    int k = (63 - n) >> 3;
+                    buf = (buf << (8 * k)) | (w >> (64 - 8 * k));
+                    pos += (size_t)k;
+                    n += 8 * k;
+                }
+                if (buf == 0) break;  // long unary run / stream tail
+                int top = 64 - __builtin_clzll(buf);
+                int rest = top - 1 - p;  // bits left after unary + param
+                if (rest < 0) break;  // sample spans the buffer: generic path
+                uint64_t q = (uint64_t)(n - top);
+                uint64_t val = (q << p) | ((buf >> rest) & ((((uint64_t)1) << p) - 1));
+                n = rest;
+                buf &= (((uint64_t)1) << n) - 1;
+                out[j] = (val & 1) ? -(int32_t)(val >> 1) - 1 : (int32_t)(val >> 1);
+            }
+            br.buf = buf;
+            br.n = n;
+            br.pos = pos;
+            for (; j < end; j++) {
+                out[j] = br.rice(p);
+                if (br.error) break;
+            }
         } else {
             uint32_t nbits = br.u(5);
             for (int j = start; j < end; j++) out[j] = br.s((int)nbits);
@@ -353,6 +402,33 @@ void flac_restore(int64_t* values, const int64_t* blocks, const int64_t* orders,
             for (int j = 0; j < order; j++) sum += v[i - 1 - j] * c[j];
             int64_t pred = shift >= 0 ? (sum >> shift) : (sum << (-shift));
             v[i] += pred;
+        }
+    }
+}
+
+// Flat-layout batched LPC restore: operates in place on the parser's
+// concatenated values (one span of blocks[s] samples per subframe at
+// offs[s]) — no padded-matrix staging on the Python side. Also applies the
+// wasted-bits shift (aukit.lua:466) so the caller touches the buffer once.
+void flac_restore_flat(int64_t* flat, const int64_t* offs, const int64_t* blocks,
+                       const int64_t* orders, const int64_t* shifts,
+                       const int64_t* wasted, const int64_t* coefs, int64_t n_subs) {
+    for (int64_t s = 0; s < n_subs; s++) {
+        int64_t* v = flat + offs[s];
+        int64_t T = blocks[s];
+        int order = (int)orders[s];
+        int shift = (int)shifts[s];
+        const int64_t* c = coefs + s * 32;
+        if (order > 0) {
+            for (int64_t i = order; i < T; i++) {
+                int64_t sum = 0;
+                for (int j = 0; j < order; j++) sum += v[i - 1 - j] * c[j];
+                v[i] += shift >= 0 ? (sum >> shift) : (sum << (-shift));
+            }
+        }
+        if (wasted[s]) {
+            int w = (int)wasted[s];
+            for (int64_t i = 0; i < T; i++) v[i] <<= w;
         }
     }
 }

@@ -114,3 +114,36 @@ def test_ima_pallas_matches_scan():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(fp), np.asarray(rp))
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(ri))
+
+
+def test_qoa_pallas_matches_scan():
+    from aukit_tpu.codecs.qoa import qoa_lms_scan
+    from aukit_tpu.kernels import qoa_pallas as qp
+    import jax.numpy as jnp
+
+    L, T = 6, qp.TIME_TILE + 137  # ragged time exercises n_valid masking
+    dq = RNG.integers(-14336, 14337, (L, T)).astype(np.int32)
+    hist = RNG.integers(-32768, 32768, (L, 4)).astype(np.int32)
+    wts = RNG.integers(-30000, 30000, (L, 4)).astype(np.int32)
+    got, (gh, gw) = qp.qoa_lms_pallas(dq, hist, wts, interpret=INTERPRET)
+    ref, (rh, rw) = qoa_lms_scan(jnp.asarray(dq), jnp.asarray(hist), jnp.asarray(wts))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(gh), np.asarray(rh))
+    np.testing.assert_array_equal(np.asarray(gw), np.asarray(rw))
+
+
+def test_qoa_pallas_weight_wraparound():
+    """The predictor sum wraps int32 (reference bit32 coercion) — the kernel
+    must match the scan on adversarial states that overflow."""
+    from aukit_tpu.codecs.qoa import qoa_lms_scan
+    from aukit_tpu.kernels import qoa_pallas as qp
+    import jax.numpy as jnp
+
+    L, T = 2, qp.TIME_TILE
+    dq = np.full((L, T), 14336, np.int32)
+    dq[:, ::2] = -14336
+    hist = np.full((L, 4), 32767, np.int32)
+    wts = np.full((L, 4), 2_000_000_00, np.int32)  # forces wraparound products
+    got, _ = qp.qoa_lms_pallas(dq, hist, wts, interpret=INTERPRET)
+    ref, _ = qoa_lms_scan(jnp.asarray(dq), jnp.asarray(hist), jnp.asarray(wts))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
