@@ -305,11 +305,15 @@ def restore_lpc_batch(values: np.ndarray, coefs: np.ndarray, shifts: np.ndarray,
 
 
 def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_native: bool | None = None,
-                     strict: bool = True):
+                     strict: bool = True, incremental: bool = False):
     """Parse every frame -> flat arrays:
     (frame_meta int32[F,2] (block_size, chan_asgn),
      sub_meta {order, shift, wasted, block} int64[S],
      coefs int64[S,32], values_flat int64[sum(block)]).
+
+    With ``incremental=True`` a fifth element is returned — the byte offset
+    just past the last committed frame — and a tail frame whose CRC16 bytes
+    are absent is NOT committed (streaming: more bytes are coming).
 
     Uses the native C++ parser (native/flacbits.cpp) when available, else the
     pure-Python BitReader path; both are bit-identical.
@@ -321,12 +325,13 @@ def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_nativ
     if use_native:
         from ..native import flacbits as _nb
 
-        return _nb.parse_frames(data, pos, channels, depth, strict)
+        return _nb.parse_frames(data, pos, channels, depth, strict, incremental)
     inp = BitReader(data, pos)
     fbs, fca = [], []
     orders, shifts, wasted, blocks = [], [], [], []
     coefs_rows = []
     values = []
+    end_pos = pos
     while True:
         try:
             hdr = decode_frame_header(inp)
@@ -347,9 +352,12 @@ def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_nativ
                 raise
             break
         inp.align_to_byte()
-        inp.read_uint(16)  # CRC16 footer, ignored (may hit clean EOF)
+        crc = inp.read_uint(16)  # CRC16 footer, ignored (may hit clean EOF)
+        if incremental and crc is None:
+            break  # tentative tail frame: commit once its CRC bytes arrive
         fbs.append(block_size)
         fca.append(chan_asgn)
+        end_pos = inp.pos - inp.n // 8
         for s in subs:
             orders.append(s["order"])
             shifts.append(s["shift"])
@@ -368,6 +376,8 @@ def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_nativ
         "block": np.array(blocks, np.int64),
     }
     coefs = np.stack(coefs_rows) if coefs_rows else np.zeros((0, 32), np.int64)
+    if incremental:
+        return frame_meta, sub, coefs, np.array(values, np.int64), end_pos
     return frame_meta, sub, coefs, np.array(values, np.int64)
 
 

@@ -35,6 +35,7 @@ class _ParseResult(ctypes.Structure):
         ("values", ctypes.POINTER(ctypes.c_int32)),
         ("n_values", ctypes.c_int64),
         ("error", ctypes.c_int32),
+        ("end_pos", ctypes.c_int64),
     ]
 
 
@@ -65,7 +66,8 @@ def _load():
         lib = ctypes.CDLL(so)
         lib.flac_parse.restype = ctypes.POINTER(_ParseResult)
         lib.flac_parse.argtypes = [
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
         ]
         lib.flac_free.argtypes = [ctypes.POINTER(_ParseResult)]
         lib.flac_restore.restype = None
@@ -101,11 +103,15 @@ _ERRORS = {
 }
 
 
-def parse_frames(data: bytes, pos: int, channels: int, depth: int, strict: bool = True):
+def parse_frames(data: bytes, pos: int, channels: int, depth: int, strict: bool = True,
+                 incremental: bool = False):
     """Parse all frames natively. Returns
     (frame_meta [F,2] int32 (block_size, chan_asgn),
      sub_meta dict of int64 arrays (order, shift, wasted, block),
-     coefs [S,32] int64, values_flat int64[n]) — dtypes match the Python path.
+     coefs [S,32] int64, values_flat int64[n]) — dtypes match the Python path;
+    with ``incremental=True`` a fifth element is returned: the byte offset
+    just past the last committed frame (frames whose CRC16 bytes are absent
+    stay uncommitted — resume from end_pos once more bytes arrive).
     Raises FlacError on malformed streams (same conditions as the reference);
     with strict=False, returns the frames completed before the error (the
     stream path's lenient behavior, aukit.lua:3158)."""
@@ -113,7 +119,7 @@ def parse_frames(data: bytes, pos: int, channels: int, depth: int, strict: bool 
 
     lib = _load()
     assert lib is not None
-    res = lib.flac_parse(data, len(data), pos, channels, depth)
+    res = lib.flac_parse(data, len(data), pos, channels, depth, 1 if incremental else 0)
     try:
         r = res.contents
         if r.error != 0 and strict:
@@ -129,7 +135,10 @@ def parse_frames(data: bytes, pos: int, channels: int, depth: int, strict: bool 
         }
         coefs = np.ctypeslib.as_array(r.coefs, (max(S, 1) * 32,))[: S * 32].astype(np.int64).reshape(S, 32)
         values = np.ctypeslib.as_array(r.values, (max(NV, 1),))[:NV].astype(np.int64)
-        return np.stack([fbs, fca], axis=1) if F else np.zeros((0, 2), np.int32), sub, coefs, values
+        frame_meta = np.stack([fbs, fca], axis=1) if F else np.zeros((0, 2), np.int32)
+        if incremental:
+            return frame_meta, sub, coefs, values, int(r.end_pos)
+        return frame_meta, sub, coefs, values
     finally:
         lib.flac_free(res)
 

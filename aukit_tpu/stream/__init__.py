@@ -643,35 +643,74 @@ def au(data, mono: bool = False, ignore_header: bool = False):
     return it, size / channels / (depth // 8) / sample_rate
 
 
+_PULL = 1 << 16  # bytes pulled from a function source per refill
+_STALL_LIMIT = 8 << 20  # undecodable-buffer bound before ending the stream
+
+
 def flac(data, mono: bool = False):
     """Streaming FLAC (aukit.lua:3124-3191): accumulate decoded frames to
     ~sample_rate output samples per chunk; per-frame-block resample with
     2-sample history and a true IIR lowpass (state carried across chunks —
-    the reference reseeds it from a wrongly-scaled value, fixed here)."""
+    the reference reseeds it from a wrongly-scaled value, fixed here).
+
+    Function/iterator sources decode INCREMENTALLY with bounded memory (the
+    reference's lazy byte table, aukit.lua:3128-3144): frames are committed
+    as soon as their bytes (incl. the CRC16 footer) arrive; only the
+    undecoded tail stays buffered. A mid-stream parse error ends the stream
+    after at most _STALL_LIMIT buffered bytes (reference pcall semantics)."""
     from ..codecs import flac as flac_codec
 
-    if not isinstance(data, (bytes, bytearray, memoryview)):
-        data = ByteSource(data).read_all()
-    data = bytes(data)
-    sample_rate, channels, depth, num_samples, meta, fpos = flac_codec.parse_flac_header(data)
+    src = ByteSource(data)
+    buf = bytearray(src.read(4096))
+    while True:
+        try:
+            sample_rate, channels, depth, num_samples, meta, fpos = (
+                flac_codec.parse_flac_header(bytes(buf)))
+            break
+        except (IndexError, struct.error):
+            more = src.read(4096)
+            if not more:
+                raise flac_codec.FlacError("unexpected end of FLAC stream")
+            buf.extend(more)
     mode = get_interpolation(None)
     alpha = 1.0 - math.exp(-(sample_rate / (CONFIG.output_rate * 2)) * 2.0 * math.pi)
     full = 1 << depth
 
     def frames():
-        # lenient whole-buffer parse (native C++ parser when available) +
-        # batched LPC restore across ALL subframes, then yield per frame
-        frame_meta, sub, coefs, values = flac_codec.parse_all_frames(
-            data, fpos, channels, depth, strict=False
-        )
-        if len(frame_meta) == 0:
-            return
-        raw = flac_codec.restore_and_decorrelate(frame_meta, sub, coefs, values, channels, depth)
-        off = 0
-        for block_size, _ca in frame_meta:
-            block = raw[:, off : off + int(block_size)]
-            off += int(block_size)
-            yield block.astype(np.float64) / full  # [C, block] in [-0.5, 0.5)
+        nonlocal buf
+        pos = fpos
+        source_done = False
+        stalled_at = None
+        while True:
+            data_now = bytes(buf)
+            if source_done:
+                fm, sub, coefs, values = flac_codec.parse_all_frames(
+                    data_now, pos, channels, depth, strict=False)
+            else:
+                fm, sub, coefs, values, end = flac_codec.parse_all_frames(
+                    data_now, pos, channels, depth, strict=False, incremental=True)
+            if len(fm):
+                raw = flac_codec.restore_and_decorrelate(fm, sub, coefs, values, channels, depth)
+                off = 0
+                for block_size, _ca in fm:
+                    block = raw[:, off : off + int(block_size)]
+                    off += int(block_size)
+                    yield block.astype(np.float64) / full  # [C, block] in [-0.5, 0.5)
+            if source_done:
+                return
+            if len(fm):
+                del buf[: end]
+                pos = 0
+                stalled_at = None
+            elif stalled_at is not None and len(buf) - stalled_at > _STALL_LIMIT:
+                return  # undecodable (parse error mid-stream): end the stream
+            elif stalled_at is None:
+                stalled_at = len(buf)
+            more = src.read(_PULL)
+            if not more:
+                source_done = True
+            else:
+                buf.extend(more)
 
     frame_iter = frames()
     last = np.zeros((channels, 2), np.float64)
@@ -713,18 +752,24 @@ def flac(data, mono: bool = False):
 def qoa(data, mono: bool = False):
     """Streaming QOA (aukit.lua:3202-3337): accumulate ~1 s of input samples,
     int8 fast-path scale floor(recon/256) (quirk Q10, intentional), 2-sample
-    history resample + recursive lowpass."""
-    from ..codecs.qoa import parse_qoa_frames
+    history resample + recursive lowpass.
 
-    if not isinstance(data, (bytes, bytearray, memoryview)):
-        data = ByteSource(data).read_all()
-    data = bytes(data)
-    magic, file_samples = struct.unpack_from(">4sI", data, 0)
-    if magic != b"qoaf":
+    Function/iterator sources decode INCREMENTALLY with bounded memory (the
+    reference's buffered read/peek source, aukit.lua:3205-3238): frames are
+    length-prefixed, so each is committed as soon as frame_size (+8 slack
+    bytes, the reference's check) is buffered; decode is batched across all
+    frames available at each refill."""
+    from ..codecs.qoa import parse_qoa_bulk, qoa_lms_batched, walk_qoa_headers
+
+    src = ByteSource(data)
+    buf = bytearray(src.read(12))
+    if len(buf) < 12:
+        buf.extend(src.read(12 - len(buf)))
+    if len(buf) < 12 or bytes(buf[:4]) != b"qoaf":
         raise ValueError("Not a QOA file")
-    channels = data[8]
-    sample_rate = int.from_bytes(data[9:12], "big")
-    frames, _ = parse_qoa_frames(data, 8, channels, sample_rate, file_samples)
+    (file_samples,) = struct.unpack_from(">I", bytes(buf), 4)
+    channels = buf[8]
+    sample_rate = int.from_bytes(bytes(buf[9:12]), "big")
     mode = get_interpolation(None)
     alpha = 1.0 - math.exp(-(sample_rate / (CONFIG.output_rate * 2)) * 2.0 * math.pi)
     last = np.zeros((channels, 2), np.float64)
@@ -732,15 +777,42 @@ def qoa(data, mono: bool = False):
     in_pos = 0
 
     def decoded_frames():
-        from ..codecs.qoa import qoa_lms_batched
-
-        for f in frames:
-            out = qoa_lms_batched(
-                np.asarray(f["dequant"], np.int32),
-                np.asarray(f["history"], np.int32),
-                np.asarray(f["weights"], np.int32),
-            )[:, : f["samples"]]
-            yield np.floor(out.astype(np.float64) / 256.0)  # Q10 int8 fast path
+        nonlocal buf
+        pos = 8
+        consumed_samples = 0
+        source_done = False
+        stalled_at = None
+        while True:
+            data_now = bytes(buf)
+            metas, got = walk_qoa_headers(
+                data_now, pos, channels, sample_rate, file_samples - consumed_samples)
+            if metas:
+                dq, hist, wts, samples = parse_qoa_bulk(
+                    data_now, pos, channels, sample_rate, file_samples - consumed_samples)
+                F, C, tmax = dq.shape
+                out = qoa_lms_batched(
+                    dq.reshape(F * C, tmax), hist.reshape(F * C, 4), wts.reshape(F * C, 4)
+                ).reshape(F, C, tmax)
+                for i in range(F):
+                    rec = out[i, :, : samples[i]]
+                    yield np.floor(rec.astype(np.float64) / 256.0)  # Q10 fast path
+                consumed_samples += got
+                end = metas[-1][0] + metas[-1][2]
+                del buf[:end]
+                pos = 0
+                stalled_at = None
+            if source_done:
+                return
+            if not metas:
+                if stalled_at is not None and len(buf) - stalled_at > _STALL_LIMIT:
+                    return
+                if stalled_at is None:
+                    stalled_at = len(buf)
+            more = src.read(_PULL)
+            if not more:
+                source_done = True
+            else:
+                buf.extend(more)
 
     frame_iter = decoded_frames()
     pending = None

@@ -73,12 +73,15 @@ def main():
     dt = (time.time() - t0) / iters
 
     realtime_x = samples / dt / 48000.0
-    print(json.dumps({
+    line = {
         "metric": f"dfpwm_decode_realtime_factor_48k_{backend}",
         "value": round(realtime_x, 1),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(realtime_x / 10000.0, 3),
-    }))
+    }
+    if backend == "tpu":
+        _with_roofline(line, "dfpwm", samples / dt)
+    print(json.dumps(line))
 
 
 def _time(fn, force, iters=5):
@@ -89,6 +92,26 @@ def _time(fn, force, iters=5):
     for i in range(iters):
         force(fn(i))
     return (time.time() - t0) / iters
+
+
+# -- roofline context (VERDICT r1 item 8) -------------------------------------------
+# VPU peak estimate for one v5e chip: one TensorCore, (8, 128) vector shape,
+# 4 independent ALUs. Clock derived from the published 197 bf16 TFLOP/s over
+# 4 MXUs of 128x128 MACs: 197e12 / (4*128*128*2) ~= 1.5 GHz.
+# => peak ~= 8*128*4*1.5e9 = 6.1e12 int-ops/s. An ESTIMATE for trend tracking:
+# regressions in kernel efficiency show up as a falling vpu_fraction.
+VPU_PEAK_INT_OPS = 8 * 128 * 4 * 1.5e9
+
+# per-sample VPU op counts, hand-counted from each kernel's inner loop
+# (elementwise int ops incl. selects; gathers counted as 4)
+KERNEL_OPS_PER_SAMPLE = {"dfpwm": 28, "ima": 16, "msadpcm": 27, "qoa": 32}
+
+
+def _with_roofline(line: dict, codec: str, samples_per_sec: float) -> dict:
+    ops = KERNEL_OPS_PER_SAMPLE[codec]
+    line["ops_per_sample_est"] = ops
+    line["vpu_fraction"] = round(samples_per_sec * ops / VPU_PEAK_INT_OPS, 4)
+    return line
 
 
 def bench_all():
@@ -179,9 +202,11 @@ def bench_all():
         sti = jnp.zeros((Gi, 2, 32, 128), jnp.int32)
         nvi = jnp.full((1,), Ti, jnp.int32)
         dt = _time(lambda i: ipk.ima_decode_grouped(xi[i % 2], sti, nvi)[0], force, 3)
-        lines.append({"metric": "ima_adpcm_pallas_realtime_tpu",
-                      "value": round(Gi * ipk.GROUP * Ti / dt / 48000, 1),
-                      "unit": "x_realtime", "vs_baseline": None})
+        lines.append(_with_roofline(
+            {"metric": "ima_adpcm_pallas_realtime_tpu",
+             "value": round(Gi * ipk.GROUP * Ti / dt / 48000, 1),
+             "unit": "x_realtime", "vs_baseline": None},
+            "ima", Gi * ipk.GROUP * Ti / dt))
         from aukit_tpu.kernels import msadpcm_pallas as mp
 
         Gm, Tm = 4, 8192
@@ -190,37 +215,109 @@ def bench_all():
         com = jnp.zeros((Gm, 2, 32, 128), jnp.int32).at[:, 0].set(256)
         nvm = jnp.full((1,), Tm, jnp.int32)
         dt = _time(lambda i: mp.msadpcm_decode_grouped(xm[i % 2], stm, com, nvm)[0], force, 3)
-        lines.append({"metric": "ms_adpcm_pallas_realtime_tpu",
-                      "value": round(Gm * mp.GROUP * Tm / dt / 48000, 1),
-                      "unit": "x_realtime", "vs_baseline": None})
+        lines.append(_with_roofline(
+            {"metric": "ms_adpcm_pallas_realtime_tpu",
+             "value": round(Gm * mp.GROUP * Tm / dt / 48000, 1),
+             "unit": "x_realtime", "vs_baseline": None},
+            "msadpcm", Gm * mp.GROUP * Tm / dt))
+        from aukit_tpu.kernels import qoa_pallas as qpk
+
+        Gq, Tq = 4, 5120
+        xq = [jnp.asarray(rng.integers(-14336, 14337, (Gq, Tq, 32, 128)).astype(np.int16)) for _i in range(2)]
+        stq = jnp.zeros((Gq, 8, 32, 128), jnp.int32)
+        nvq = jnp.full((1,), Tq, jnp.int32)
+        dt = _time(lambda i: qpk.qoa_lms_grouped(xq[i % 2], stq, nvq)[0], force, 3)
+        lines.append(_with_roofline(
+            {"metric": "qoa_lms_pallas_realtime_tpu",
+             "value": round(Gq * qpk.GROUP * Tq / dt / 48000, 1),
+             "unit": "x_realtime", "vs_baseline": None},
+            "qoa", Gq * qpk.GROUP * Tq / dt))
     raw = [jnp.asarray(rng.integers(0, 256, (Lb, 48000)).astype(np.uint8)) for _i in range(2)]
     dt = _time(lambda i: decode_g711_device(raw[i % 2], True, 1, 0x2000), force, 3)
     lines.append({"metric": f"g711_decode_realtime_{backend}", "value": round(Lb * 48000 / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
 
-    # config 4: FLAC + QOA decode (host parse + device restore)
+    # config 4: FLAC + QOA whole-file decode (native host parse + batched
+    # restore). 60 s streams: throughput, not per-call overhead.
     from tests import fixtures
     from aukit_tpu.codecs import flac as fc
     from aukit_tpu.codecs.qoa import decode_qoa
 
     n = 4096
-    frames = b""
-    for _i in range(24):
-        frames += fixtures.flac_frame(
-            [{"type": "fixed", "order": 2, "warmup": [0, 0],
-              "residuals": [int(v) for v in rng.integers(-2000, 2000, n - 2)],
-              "param": 11, "partition_order": 0}], n, 0, 16)
-    flac_data = fixtures.flac_stream_header(48000, 1, 16, 24 * n) + frames
+    order, shift, coefs = 8, 9, [120, -60, 30, -15, 8, -4, 2, -1]
+    sig = np.cumsum(rng.integers(-60, 60, n)).astype(np.int64)
+    res = list(sig[:order].astype(int))
+    for i in range(order, n):
+        pred = sum(int(sig[i - 1 - j]) * coefs[j] for j in range(order)) >> shift
+        res.append(int(sig[i]) - pred)
+    one = fixtures.flac_frame(
+        [{"type": "lpc", "order": order, "warmup": [int(v) for v in sig[:order]],
+          "precision": 8, "shift": shift, "coefs": coefs,
+          "residuals": res[order:], "param": 7, "partition_order": 2}], n, 0, 16)
+    nframes = 700  # ~60 s at 48 kHz
+    flac_data = fixtures.flac_stream_header(48000, 1, 16, nframes * n) + one * nframes
+    fc.decode_flac(flac_data[: len(flac_data) // 8])  # warm (builds .so, jit)
     t0 = time.time()
     arr, _sr, _m, _d = fc.decode_flac(flac_data)
     dt = time.time() - t0
     lines.append({"metric": "flac_decode_realtime", "value": round(arr.shape[1] / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
-    qoa_data = fixtures.qoa_stream(rng, 2, 48000, [5120] * 40) + b"\x00" * 8
+    qoa_data = fixtures.qoa_stream(rng, 2, 44100, [5120] * 520) + b"\x00" * 8  # ~60 s
+    decode_qoa(qoa_data[: len(qoa_data) // 8] + b"\x00" * 8)  # warm
     t0 = time.time()
     smp, _r, _t = decode_qoa(qoa_data)
     dt = time.time() - t0
     lines.append({"metric": "qoa_decode_realtime", "value": round(smp.shape[1] / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+
+    # config 6: batched multi-stream ENGINE throughput (SURVEY §2.4 north-star
+    # axis; VERDICT r1 items 2+3). Bulk feed -> column-view staging; the
+    # aggregate realtime factor includes staging + dispatch + state carry.
+    from aukit_tpu.stream.batch import BatchDfpwmDecoder, BatchStreamEngine, LaneSpec
+
+    lanes = 32768 if backend == "tpu" else 1024
+    nsteps, chunk = 3, 6000
+    eng = BatchDfpwmDecoder(lanes, 48000, chunk_bytes=chunk)
+    eng.feed_array(rng.integers(0, 256, (lanes, chunk * nsteps), dtype=np.uint8))
+    t0 = time.time()
+    decoded = 0
+    while True:
+        r = eng.step()
+        if r is None:
+            break
+        decoded += int(r[1].sum()) * chunk * 8
+        force(r[0][:1, :8])  # fetch a sliver: forces materialization per chunk
+    dt = time.time() - t0
+    lines.append({"metric": f"batch_engine_dfpwm_realtime_{backend}",
+                  "value": round(decoded / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None})
+
+    # mixed fleet: one engine, four codecs, three sample rates (heterogeneous
+    # path assembles uniform 1 s host windows -> fetch-inclusive number)
+    ml = 128 if backend == "tpu" else 32
+    specs = ([LaneSpec("dfpwm", 48000)] * ml + [LaneSpec("pcm16", 44100)] * ml
+             + [LaneSpec("ima", 22050, 1, block_align=256)] * ml
+             + [LaneSpec("ulaw", 8000)] * ml)
+    meng = BatchStreamEngine(specs)
+    secs = 3
+    per_lane = [rng.integers(0, 256, (ml, 6000 * secs), dtype=np.uint8),
+                rng.integers(0, 256, (ml, 2 * 44100 * secs), dtype=np.uint8),
+                rng.integers(0, 256, (ml, 256 * 44 * secs), dtype=np.uint8),
+                rng.integers(0, 256, (ml, 8000 * secs), dtype=np.uint8)]
+    t0 = time.time()
+    out_samples = 0
+    for gi, a in enumerate(per_lane):
+        for s in range(ml):
+            meng.feed(gi * ml + s, a[s].tobytes())
+            meng.feed(gi * ml + s, None)
+    while True:
+        r = meng.step()
+        if r is None:
+            break
+        out_samples += int(r[1].sum()) * r[0].shape[1]
+    dt = time.time() - t0
+    lines.append({"metric": f"batch_engine_mixed_realtime_{backend}",
+                  "value": round(out_samples / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
 
     # config 5: auconvert-style effects chain, batched multi-stream (device)

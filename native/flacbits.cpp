@@ -129,6 +129,7 @@ struct FlacParseResult {
     int32_t error;  // 0 ok; 1 reserved residual method; 2 partition mismatch;
                     // 3 reserved subframe type; 4 sync; 5 reserved block size;
                     // 6 reserved channel asgn; 7 truncated stream
+    int64_t end_pos;  // byte offset just past the last COMMITTED frame's CRC16
 };
 
 void flac_free(FlacParseResult* r) {
@@ -269,9 +270,13 @@ static bool decode_subframe(BitReader& br, int depth, int block_size,
     return true;
 }
 
+// require_crc != 0: incremental mode — a frame is only committed once its
+// CRC16 bytes are present (more data is coming; the decoder must not emit a
+// tail frame whose trailing bytes would later be misread as a frame header).
 FlacParseResult* flac_parse(const uint8_t* data, int64_t len, int64_t start_pos,
-                            int32_t channels, int32_t depth) {
+                            int32_t channels, int32_t depth, int32_t require_crc) {
     auto* r = (FlacParseResult*)calloc(1, sizeof(FlacParseResult));
+    r->end_pos = start_pos;
     BitReader br(data, (size_t)len, (size_t)start_pos);
     std::vector<int32_t> fbs, fca, so, ss, sw, sb, coefs;
     std::vector<int32_t> values;
@@ -338,9 +343,12 @@ FlacParseResult* flac_parse(const uint8_t* data, int64_t len, int64_t start_pos,
         if (!ok) break;
         br.align();
         br.u(16);  // CRC16, may hit clean EOF
+        if (br.error && require_crc) { br.error = false; break; }  // tentative tail
         br.error = false;
         fbs.push_back(block_size);
         fca.push_back((int32_t)ca);
+        // logical position: bytes pulled minus whole bytes still buffered
+        r->end_pos = (int64_t)br.pos - br.n / 8;
     }
     // partial frame state discarded: trim subframe arrays to complete frames
     size_t complete_subs = 0;

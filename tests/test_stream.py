@@ -410,3 +410,75 @@ def test_play_multi_sink_channel_fanout():
     assert s1.samples()[0] == 10 and s2.samples()[0] == -20
     # extra sinks fall back to channel 1 (aukit.lua:1935)
     assert s3.samples()[0] == 10
+
+
+def test_stream_flac_incremental_drip_fed():
+    """A function source drip-feeding 4 KB chunks must decode identically to
+    the whole-buffer path WITH bounded buffering (VERDICT r1 item 5;
+    reference lazy byte table aukit.lua:3128-3144)."""
+    n = 4096
+    vals = RNG.integers(-(1 << 14), 1 << 14, n).tolist()
+    frame = fixtures.flac_frame([{"type": "verbatim", "values": vals}], n, 0, 16)
+    data = fixtures.flac_stream_header(48000, 1, 16, 24 * n) + frame * 24
+
+    whole_it, _ = ak.stream.flac(data)
+    whole = np.concatenate([c for c, _ in collect(whole_it)], axis=1)
+
+    pos = 0
+    pulls = []
+
+    def drip():
+        nonlocal pos
+        if pos >= len(data):
+            return None
+        chunk = data[pos : pos + 4096]
+        pos += len(chunk)
+        pulls.append(len(chunk))
+        return chunk
+
+    it, _ = ak.stream.flac(drip)
+    first = next(iter(it))  # first chunk must arrive before the whole file fed
+    fed_at_first = sum(pulls)
+    assert fed_at_first < len(data), "stream.flac buffered the entire source"
+    rest = [c for c, _ in collect(it)]
+    got = np.concatenate([first[0]] + rest, axis=1)
+    np.testing.assert_array_equal(got, whole)
+
+
+def test_stream_qoa_incremental_drip_fed():
+    data = fixtures.qoa_stream(RNG, 2, 48000, [5120] * 20) + b"\x00" * 8
+    whole_it, _ = ak.stream.qoa(data)
+    whole = np.concatenate([c for c, _ in collect(whole_it)], axis=1)
+
+    pos = 0
+    pulls = []
+
+    def drip():
+        nonlocal pos
+        if pos >= len(data):
+            return None
+        chunk = data[pos : pos + 4096]
+        pos += len(chunk)
+        pulls.append(len(chunk))
+        return chunk
+
+    it, _ = ak.stream.qoa(drip)
+    first = next(iter(it))
+    assert sum(pulls) < len(data), "stream.qoa buffered the entire source"
+    rest = [c for c, _ in collect(it)]
+    got = np.concatenate([first[0]] + rest, axis=1)
+    np.testing.assert_array_equal(got, whole)
+
+
+def test_stream_flac_incremental_garbage_mid_stream_ends():
+    """A parse error mid-feed ends the stream leniently after bounded
+    buffering (reference pcall-to-EOF semantics)."""
+    n = 1024
+    vals = RNG.integers(-(1 << 10), 1 << 10, n).tolist()
+    frame = fixtures.flac_frame([{"type": "verbatim", "values": vals}], n, 0, 16)
+    data = fixtures.flac_stream_header(48000, 1, 16, 2 * n) + frame + b"\x00\x01" * 600 + frame
+
+    feed = [data[:2048], data[2048:]]
+    it, _ = ak.stream.flac(lambda: feed.pop(0) if feed else None)
+    total = sum(c.shape[1] for c, _ in collect(it))
+    assert total == n  # first frame decoded; garbage ended the stream
