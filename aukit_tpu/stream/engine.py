@@ -188,12 +188,91 @@ def lua_block_resample(
     return np.where(exact, take(ffx), clip(acc))
 
 
+@functools.lru_cache(maxsize=256)
+def _device_chunk_fn(in_rate: int, out_rate: int, mode: str, chunk: int, window: int,
+                     out_len: int, lowpass: bool, alpha: float, scale_int8: bool,
+                     floor_output: bool, interp_clamp, compat_quirks: bool):
+    """Jitted device twin of ChunkResampler's per-chunk math (VERDICT r1 item
+    6): the SAME static plan tables drive one fused XLA graph
+    gather -> interp -> FIR -> scale, in float32 (TPU has no f64 — the numpy
+    f64 path remains the bit-parity oracle). Returns
+    fn(carry f32[C,hist], fresh f32[C,k], filter_state f32[C], first_valid)
+    -> (out f32[C,out_len], new_carry, new_filter_state)."""
+    import jax
+    import jax.numpy as jnp
+
+    plan = stream_plan(in_rate, out_rate, mode, chunk, window)
+    hist = plan["hist"]
+    ffx = jnp.asarray(plan["ffx0"][:out_len] + hist)
+    frac = jnp.asarray(plan["frac"][:out_len].astype(np.float32))
+    exact = jnp.asarray(plan["exact"][:out_len])
+    sinc_w = None if plan["sinc_w"] is None else np.asarray(plan["sinc_w"][:out_len], np.float32)
+    M = plan["M"]
+
+    def clip_i(v):
+        if interp_clamp is None:
+            return v
+        return jnp.clip(v, interp_clamp[0], interp_clamp[1])
+
+    @jax.jit
+    def fn(carry, fresh, filter_state, first_valid):
+        ext = jnp.concatenate([carry, fresh], axis=-1)
+        k = fresh.shape[-1]
+        n_ext = ext.shape[-1]
+        take = lambda idx: jnp.take(ext, jnp.clip(idx, 0, n_ext - 1), axis=-1)
+        if mode == "none":
+            s = take(ffx)
+        elif mode == "linear":
+            p1 = take(ffx)
+            p2 = take(jnp.minimum(ffx + 1, n_ext - 1))
+            s = jnp.where(exact, p1, clip_i(p1 + (p2 - p1) * frac))
+        elif mode == "cubic":
+            p1 = take(ffx)
+            p0 = take(jnp.maximum(ffx - 1, first_valid))
+            p2 = take(jnp.minimum(ffx + 1, n_ext - 1))
+            p3 = take(jnp.minimum(ffx + 2, n_ext - 1))
+            val = ((-0.5 * p0 + 1.5 * p1 - 1.5 * p2 + 0.5 * p3) * frac**3
+                   + (p0 - 2.5 * p1 + 2.0 * p2 - 0.5 * p3) * frac**2
+                   + (-0.5 * p0 + 0.5 * p2) * frac + p1)
+            s = jnp.where(exact, p1, clip_i(val))
+        else:  # sinc
+            acc = jnp.zeros(ext.shape[:-1] + (out_len,), jnp.float32)
+            for t in range(2 * window + 1):
+                idx = ffx + (t - window)
+                valid = (idx >= first_valid) & (idx < hist + k)
+                acc = acc + take(idx) * (jnp.asarray(sinc_w[:, t]) * valid)
+            s = jnp.where(exact, take(ffx), clip_i(acc))
+        if lowpass:
+            prev = jnp.concatenate([filter_state[..., None], s[..., :-1]], axis=-1)
+            out = prev + jnp.float32(alpha) * (s - prev)
+            new_fs = (jnp.zeros_like(filter_state) if compat_quirks else s[..., -1])
+        else:
+            out = s
+            new_fs = filter_state
+        if scale_int8:
+            out = out * jnp.where(out < 0, 128.0, 127.0)
+        if floor_output:
+            out = jnp.floor(out)
+        if scale_int8:
+            out = jnp.clip(out, -128.0, 127.0)
+        read = min(k, M)
+        new_carry = jax.lax.dynamic_slice_in_dim(ext, read, hist, axis=-1)
+        return out, new_carry, new_fs
+
+    return fn
+
+
 class ChunkResampler:
     """Stateful per-stream chunk pipeline: raw samples in -> scaled chunks out.
 
     Values flow at the caller's scale ([-1,1] floats for PCM, int8-scale for
     the DFPWM path); ``scale_int8``/``floor_output``/``interp_clamp`` select
     the quantize variant each reference stream.* uses.
+
+    Two backends: numpy float64 (the bit-parity oracle, default) and a fused
+    jitted float32 device graph used automatically when ``process`` receives
+    a jax array (device-resident decode outputs stay on device; SURVEY.md §7
+    item 5's fused per-chunk graph).
     """
 
     def __init__(
@@ -240,9 +319,16 @@ class ChunkResampler:
             return s
         return np.clip(s, self.interp_clamp[0], self.interp_clamp[1])
 
-    def process(self, fresh: np.ndarray):
+    def process(self, fresh):
         """fresh[C, k] raw samples (k <= samples_needed; fewer signals EOF).
-        Returns (chunk[C, out_len] float32, position_seconds) or None at end."""
+        Returns (chunk[C, out_len] float32, position_seconds) or None at end.
+        A jax-array input routes through the fused device graph (output and
+        carried state stay device-resident); numpy stays on the host oracle."""
+        if not isinstance(fresh, (np.ndarray, list, tuple)):
+            import jax
+
+            if isinstance(fresh, jax.Array):
+                return self._process_device(fresh)
         plan = self.plan
         M, hist = plan["M"], plan["hist"]
         fresh = np.asarray(fresh, np.float64)
@@ -322,12 +408,51 @@ class ChunkResampler:
         self.out_count += out_len
         return out.astype(np.float32), pos
 
+    def _process_device(self, fresh):
+        """Device twin of ``process``: same plan/warmup/EOF logic on shapes,
+        the per-chunk math as ONE jitted dispatch (float32)."""
+        import jax.numpy as jnp
+
+        plan = self.plan
+        M, hist = plan["M"], plan["hist"]
+        fresh = jnp.asarray(fresh, jnp.float32)
+        if isinstance(self.carry, np.ndarray):
+            self.carry = jnp.asarray(self.carry, jnp.float32)
+            self.filter_state = jnp.asarray(self.filter_state, jnp.float32)
+        if self.first and plan["shift_first"]:
+            if fresh.shape[1] == 0:
+                return None
+            self.carry = jnp.concatenate([self.carry[:, 1:], fresh[:, :1]], axis=1)
+            self.carry_valid = 1
+            fresh = fresh[:, 1:]
+        k = fresh.shape[1]
+        warm = plan["warm_first"] - (1 if plan["shift_first"] else 0) if self.first else plan["warm_later"]
+        if k < warm:
+            return None
+        if k >= M:
+            out_len = self.chunk
+        else:
+            out_len = int(np.searchsorted(plan["required"], k, side="right"))
+            if out_len == 0:
+                return None
+        fn = _device_chunk_fn(
+            self.in_rate, self.out_rate, self.mode, self.chunk, self.window,
+            out_len, self.lowpass, self.alpha, self.scale_int8,
+            self.floor_output, self.interp_clamp, CONFIG.compat_quirks)
+        out, self.carry, self.filter_state = fn(
+            self.carry, fresh, self.filter_state, hist - self.carry_valid)
+        self.carry_valid = min(self.carry_valid + min(k, M), hist)
+        self.first = False
+        pos = self.out_count / self.out_rate
+        self.out_count += out_len
+        return out, pos
+
     # -- checkpoint / resume (SURVEY.md §5.4): serializable resampler state ----
     def get_state(self) -> dict:
         return {
-            "carry": self.carry.copy(),
+            "carry": np.asarray(self.carry).copy(),
             "carry_valid": self.carry_valid,
-            "filter_state": self.filter_state.copy(),
+            "filter_state": np.asarray(self.filter_state).copy(),
             "first": self.first,
             "out_count": self.out_count,
         }
