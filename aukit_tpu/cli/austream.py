@@ -14,6 +14,70 @@ import argparse
 import sys
 
 
+def _tcp_listen_source(port: int, proto: str | None):
+    """Broadcast fan-in: accept feeders on ``port``, queue their chunks in
+    arrival order. Ends once at least one feeder connected and all have
+    disconnected. Returns (data_fn, bound_port) — the port is echoed so
+    callers binding port 0 can learn the real one."""
+    import queue
+    import socket
+    import threading
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("0.0.0.0", port))
+    srv.listen()
+    bound = srv.getsockname()[1]
+    q: "queue.Queue[bytes | None]" = queue.Queue(maxsize=256)
+    state = {"feeders": 0, "ever": False, "closed": False}
+    lock = threading.Lock()
+
+    def feeder(conn):
+        try:
+            if proto is not None:
+                line = b""
+                while not line.endswith(b"\n") and len(line) < 256:
+                    b = conn.recv(1)
+                    if not b:
+                        return
+                    line += b
+                if line.strip().decode("latin-1", "replace") != proto:
+                    return  # protocol filter: drop the feeder (austream.lua:58)
+            while True:
+                d = conn.recv(48000)
+                if not d:
+                    return
+                q.put(d)
+        finally:
+            conn.close()
+            with lock:
+                state["feeders"] -= 1
+                if state["feeders"] == 0 and state["ever"]:
+                    q.put(None)
+
+    def acceptor():
+        while not state["closed"]:
+            try:
+                conn, _addr = srv.accept()
+            except OSError:
+                return
+            with lock:
+                state["feeders"] += 1
+                state["ever"] = True
+            threading.Thread(target=feeder, args=(conn,), daemon=True).start()
+
+    threading.Thread(target=acceptor, daemon=True).start()
+
+    def data():
+        d = q.get()
+        if d is None:
+            state["closed"] = True
+            srv.close()
+        return d
+
+    return data, bound
+
+
 def parse_params(params: str | None) -> dict:
     """The austream key=value,... mini-language: numbers, true/false, and bare
     identifiers-as-strings (matching the sandboxed `load` environment)."""
@@ -46,8 +110,21 @@ def parse_params(params: str | None) -> dict:
 def open_source(path: str, stream_data: bool):
     """Returns bytes or a chunk-pull callable (austream.lua:19-81).
     ``tcp://host:port`` is the framework's analog of the reference's rednet
-    transport (N6 in SURVEY.md §2.3); ``ws(s)://`` uses the websockets package
-    when installed."""
+    point-to-point transport, and ``tcp://listen:port[?proto=name]`` of its
+    id=-1 broadcast receive with protocol filter (austream.lua:54-64; N6 in
+    SURVEY.md §2.3): any number of feeders connect and their chunks fan in;
+    with ``proto=`` each feeder must open with the line ``<name>\\n`` or its
+    connection is dropped (the rednet protocol filter). ``ws(s)://`` uses the
+    websockets package when installed."""
+    if path.startswith("tcp://listen:"):
+        proto = None
+        spec = path[len("tcp://listen:"):]
+        if "?" in spec:
+            spec, qs = spec.split("?", 1)
+            for part in qs.split("&"):
+                if part.startswith("proto="):
+                    proto = part[6:]
+        return _tcp_listen_source(int(spec), proto)[0]
     if path.startswith("tcp://"):
         import socket
 

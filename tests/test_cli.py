@@ -135,3 +135,52 @@ def test_austream_tcp_source(wav_file, tmp_path):
     srv.close()
     got = np.frombuffer(open(out, "rb").read(), np.int8)
     assert len(got) == 48000
+
+
+def test_tcp_listen_broadcast_fan_in():
+    """Rednet-broadcast analog (austream.lua:54-64): two simultaneous tcp
+    feeders fan into one stream; the protocol filter drops mismatched
+    feeders."""
+    import socket
+    import threading
+    import time as _t
+
+    import numpy as np
+
+    from aukit_tpu.cli.austream import _tcp_listen_source
+
+    data_fn, port = _tcp_listen_source(0, "radio")
+    half = 24000
+    sig = np.random.default_rng(4).integers(0, 256, 2 * half, dtype=np.uint8)
+
+    barrier = threading.Barrier(3)
+
+    def feed(payload, proto_line):
+        s = socket.create_connection(("127.0.0.1", port))
+        try:
+            s.sendall(proto_line)
+            s.sendall(payload)
+        except OSError:
+            pass  # the filtered feeder may be dropped mid-send
+        try:
+            barrier.wait(timeout=10)  # keep connections open until all have sent
+        except threading.BrokenBarrierError:
+            pass
+        _t.sleep(0.05)
+        s.close()
+
+    t1 = threading.Thread(target=feed, args=(sig[:half].tobytes(), b"radio\n"))
+    t2 = threading.Thread(target=feed, args=(sig[half:].tobytes(), b"radio\n"))
+    t3 = threading.Thread(target=feed, args=(b"\xff" * 999, b"tv\n"))  # filtered out
+    for t in (t1, t2, t3):
+        t.start()
+    got = bytearray()
+    while True:
+        d = data_fn()
+        if d is None:
+            break
+        got.extend(d)
+    for t in (t1, t2, t3):
+        t.join()
+    assert len(got) == 2 * half  # both feeders delivered, the mismatched one dropped
+    assert sorted(got) == sorted(sig.tobytes())  # same bytes, arrival-order interleave

@@ -517,3 +517,88 @@ def test_chunk_resampler_device_path_matches_host():
         d = np.concatenate(chunks_d, axis=1)
         assert h.shape == d.shape
         np.testing.assert_allclose(d, h, atol=2e-3, err_msg=mode)
+
+
+def test_stream_aiff_function_source_form_resync():
+    """Function source feeding the file twice (icecast-style loop): with
+    ignore_header the repeated FORM header is stripped via the SSND offset
+    walk (aukit.lua:3053-3062 — whose size/offset misread we fix)."""
+    sig = RNG.integers(-3000, 3000, (2, 48000))
+    payload = sig.T.reshape(-1).astype(">i2").tobytes()
+    f = fixtures.aiff_file(payload, 2, 48000, 16)
+    feed = [f, f]
+    it, _ = ak.stream.aiff(lambda: feed.pop(0) if feed else None, ignore_header=True)
+    got = np.concatenate([c for c, _ in collect(it)], axis=1)
+    it2, _ = ak.stream.pcm(payload + payload, 16, "signed", 2, 48000, True, False)
+    exp = np.concatenate([c for c, _ in collect(it2)], axis=1)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_stream_au_function_source_snd_restrip():
+    """Repeated .snd header mid-stream is re-stripped via its (1-based,
+    quirk Q20) offset field (aukit.lua:3097-3101)."""
+    sig = RNG.integers(-3000, 3000, 48000)
+    payload = sig.astype(">i2").tobytes()
+    f = fixtures.au_file(payload, 3, 48000, 1)
+    feed = [f, f]
+    it, _ = ak.stream.au(lambda: feed.pop(0) if feed else None, ignore_header=True)
+    got = np.concatenate([c for c, _ in collect(it)], axis=1)
+    it2, _ = ak.stream.pcm(payload + payload, 16, "signed", 1, 48000, True, False)
+    exp = np.concatenate([c for c, _ in collect(it2)], axis=1)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_stream_au_function_source_plain():
+    """Function-source AU without header repetition: the prefixed-source
+    closure must deliver header-chunk payload then tail chunks seamlessly."""
+    sig = RNG.integers(-3000, 3000, 48000 * 3)
+    payload = sig.astype(">i2").tobytes()
+    f = fixtures.au_file(payload, 3, 48000, 1)
+    pos = 0
+
+    def drip():
+        nonlocal pos
+        if pos >= len(f):
+            return None
+        out = f[pos : pos + 70000]
+        pos += len(out)
+        return out
+
+    it, _ = ak.stream.au(drip)
+    got = np.concatenate([c for c, _ in collect(it)], axis=1)
+    it2, _ = ak.stream.pcm(payload, 16, "signed", 1, 48000, True, False)
+    exp = np.concatenate([c for c, _ in collect(it2)], axis=1)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_ws_ingestion_end_to_end():
+    """N6 parity (SURVEY.md §2.3): a ws:// source through austream's
+    open_source feeds the stream pipeline; binary messages are chunks."""
+    import threading
+
+    websockets = pytest.importorskip("websockets")
+    from websockets.sync.server import serve
+
+    sig = RNG.integers(-3000, 3000, 48000)
+    payload = sig.astype("<i2").tobytes()
+    data = fixtures.wav_pcm(sig[None, :], 48000, 16)
+    chunks = [data[i : i + 4096] for i in range(0, len(data), 4096)]
+
+    def handler(conn):
+        for c in chunks:
+            conn.send(c)
+        conn.close()
+
+    with serve(handler, "127.0.0.1", 0) as server:
+        port = server.socket.getsockname()[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        from aukit_tpu.cli.austream import open_source
+
+        src = open_source(f"ws://127.0.0.1:{port}", True)
+        it, _ = ak.stream.wav(src)
+        got = np.concatenate([c for c, _ in collect(it)], axis=1)
+        server.shutdown()
+    it2, _ = ak.stream.pcm(payload, 16, "signed", 1, 48000, False, False)
+    exp = np.concatenate([c for c, _ in collect(it2)], axis=1)
+    np.testing.assert_array_equal(got, exp)
