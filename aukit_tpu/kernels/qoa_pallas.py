@@ -28,7 +28,8 @@ from jax.experimental.pallas import tpu as pltpu
 SUB = 32
 LANE = 128
 GROUP = SUB * LANE
-TIME_TILE = 512  # samples per grid step
+TIME_TILE = 256  # samples per grid step (512 int16 in+out blocks
+# double-buffer to 16.6 MB and overflow the 16 MB scoped VMEM limit)
 
 
 def _qoa_kernel(nvalid_ref, dq_ref, state_ref, out_ref, state_out_ref, st):

@@ -131,7 +131,12 @@ def bench_all():
         arr = o[0] if isinstance(o, tuple) else o
         return int(jnp.sum(jnp.asarray(arr).astype(jnp.float32)))
 
-    lines = []
+    class _Emit(list):
+        def append(self, line):  # print each metric as it lands: a late
+            print(json.dumps(line))  # failure must not eat earlier results
+            super().append(line)
+
+    lines = _Emit()
 
     # config 1: stream.wav 16-bit PCM -> 48k mono linear (host chunk engine)
     import aukit_tpu as ak
@@ -339,9 +344,6 @@ def bench_all():
     total = 64 * 48000 * 2
     lines.append({"metric": f"effects_chain_batched_realtime_{backend}", "value": round(total / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
-
-    for line in lines:
-        print(json.dumps(line))
 
 
 if __name__ == "__main__":
