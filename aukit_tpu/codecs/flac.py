@@ -395,7 +395,27 @@ def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, 
     offs = np.concatenate([[0], np.cumsum(sub["block"])])
     from ..native import flacbits as _nb
 
-    if _nb.available():
+    import jax
+
+    from ..config import CONFIG
+
+    T_max = int(sub["block"].max())
+    if (jax.default_backend() == "tpu" and depth <= 24
+            and S * T_max >= CONFIG.flac_device_restore_min):
+        # lane-batched Pallas restore (kernels/flac_pallas.py): exact for
+        # depth <= 24 via int32 limb arithmetic; 32-bit streams stay on the
+        # int64 host path
+        from ..kernels.flac_pallas import lpc_restore_pallas
+
+        vals = np.zeros((S, T_max), np.int32)
+        for i in range(S):
+            vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
+        restored = np.asarray(lpc_restore_pallas(
+            vals, sub["order"], sub["shift"], sub["block"], coefs)).astype(np.int64)
+        restored <<= sub["wasted"][:, None]
+        keep = np.arange(T_max)[None, :] < sub["block"][:, None]
+        restored_flat = restored[keep]
+    elif _nb.available():
         restored_flat = _nb.restore_lpc_flat(
             values_flat, offs[:-1], sub["block"], sub["order"], sub["shift"],
             sub["wasted"], coefs)

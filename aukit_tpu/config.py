@@ -32,6 +32,11 @@ class Config:
     # When False (default) the fixed semantics are used; parity tests flip this.
     compat_quirks: bool = False
 
+    # Minimum batch size (subframes x max block) at which FLAC LPC restore
+    # routes to the Pallas kernel on TPU (kernels/flac_pallas.py; exact for
+    # depth <= 24). Below it the dispatch+transfer overhead beats the win.
+    flac_device_restore_min: int = 1 << 22
+
 
 CONFIG = Config()
 

@@ -1,0 +1,146 @@
+"""FLAC LPC restore Pallas TPU kernel — subframe-lane batched.
+
+The restore recurrence (aukit.lua:411-419) is
+    v[i] += floor(sum_j v[i-1-j] * c[j] / 2^shift)   for i >= order
+with order <= 32 and signed 5-bit shift. The accumulator needs ~38 bits, and
+the TPU has no int64 — so each tap's product is evaluated in int32 LIMBS:
+
+    v = v_hi*2^16 + v_lo          (v_hi = v >> 16 arithmetic, v_lo unsigned)
+    r = v_lo*c                    (|r| < 2^31: v_lo < 2^16, |c| <= 2^15)
+    sum = Q*2^16 + RH*2^15 + RL   Q  = sum(v_hi*c)   RH = sum(r >> 15)
+                                  RL = sum(r & 0x7FFF)
+    T' = 2Q + RH;  sum = T'*2^15 + RL  (RL >= 0 < 2^20)
+    floor(sum / 2^s) = (T' << (15-s)) + (RL >> s)            0 <= s <= 15
+                     = T' >> (s-15)                          s > 15
+                     = (T' << (15-s)) + (RL << -s)           s < 0
+
+Every step is EXACT in int32 as long as |v| < 2^25 and |c| <= 2^15 — i.e. all
+FLAC streams of depth <= 24 at any legal coefficient precision (<= 16 bits;
+Q and T' then stay under 2^30). 32-bit-depth streams keep the int64 host
+path (codecs/flac.py routes).
+
+Lanes = subframes in [32, 128] tiles; time is a sequential grid; the order-K
+sample window rides the fori carry (K = max order across the batch, rounded
+to {4, 8, 16, 32} — one compiled kernel per bucket). Per-lane block lengths
+mask tail padding, so mixed block sizes batch together.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 32
+LANE = 128
+GROUP = SUB * LANE
+TIME_TILE = 128
+
+MAX_ABS_SAMPLE = 1 << 25  # exactness domain bound (see module docstring)
+MAX_ABS_COEF = 1 << 15
+
+
+def _lpc_kernel(K, vals_ref, meta_ref, coef_ref, out_ref, win):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        win[:] = jnp.zeros_like(win)
+
+    order = meta_ref[0, 0]
+    shift = meta_ref[0, 1]
+    block = meta_ref[0, 2]
+    sa = jnp.clip(15 - shift, 0, 31)  # s <= 15 branch (incl. negative s)
+    sb = jnp.clip(shift, 0, 15)
+    sc = jnp.clip(shift - 15, 0, 31)
+    sd = jnp.clip(-shift, 0, 31)
+
+    def body(i, w):
+        a = t * TIME_TILE + i
+        res = vals_ref[0, i]
+        q = jnp.zeros_like(res)
+        rh = jnp.zeros_like(res)
+        rl = jnp.zeros_like(res)
+        for j in range(K):
+            v = w[j]
+            c = coef_ref[0, j]
+            q = q + (v >> 16) * c
+            r = (v & 0xFFFF) * c
+            rh = rh + (r >> 15)
+            rl = rl + (r & 0x7FFF)
+        # normalize: RL may reach 32*2^15 — carry its high bits into T'
+        tp = 2 * q + rh + (rl >> 15)
+        rl = rl & 0x7FFF
+        p_low = (tp << sa) + jnp.where(shift >= 0, rl >> sb, rl << sd)
+        pred = jnp.where(shift > 15, tp >> sc, p_low)
+        upd = (a >= order) & (a < block) & (order > 0)
+        vnew = jnp.where(upd, res + pred, res)
+        out_ref[0, i] = vnew
+        return jnp.concatenate([vnew[None], w[:-1]], axis=0)
+
+    w = jax.lax.fori_loop(0, TIME_TILE, body, win[:])
+    win[:] = w
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def lpc_restore_grouped(vals_gm, meta_gm, coef_gm, K: int, interpret: bool = False):
+    """Native-layout restore.
+
+    vals_gm : int32[G, T, 32, 128] warmup+residuals (T % TIME_TILE == 0)
+    meta_gm : int32[G, 3, 32, 128] (order, shift, block_length)
+    coef_gm : int32[G, K, 32, 128] (coef j multiplies v[i-1-j]; 0 beyond order)
+    returns : int32[G, T, 32, 128] restored samples
+    """
+    G, T = vals_gm.shape[0], vals_gm.shape[1]
+    return pl.pallas_call(
+        functools.partial(_lpc_kernel, K),
+        grid=(G, T // TIME_TILE),
+        in_specs=[
+            pl.BlockSpec((1, TIME_TILE, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TIME_TILE, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, T, SUB, LANE), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((K, SUB, LANE), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(vals_gm, meta_gm, coef_gm)
+
+
+def _order_bucket(max_order: int) -> int:
+    for k in (4, 8, 16, 32):
+        if max_order <= k:
+            return k
+    return 32
+
+
+def lpc_restore_pallas(vals, orders, shifts, blocks, coefs, interpret: bool = False):
+    """Flat-lane wrapper: vals int32[S, T] (+ per-lane order/shift/block,
+    coefs [S, 32]) -> restored int32[S, T]. Pads lanes to [32, 128] groups and
+    T to the time tile; tap count specializes on the batch's max order."""
+    from .dfpwm_pallas import groups_to_lanes, lanes_to_groups
+
+    vals = jnp.asarray(vals, jnp.int32)
+    S, T = vals.shape
+    K = _order_bucket(int(np.max(orders)) if len(orders) else 1)
+    gm, _ = lanes_to_groups(vals, TIME_TILE)
+
+    def pack(v):
+        v = jnp.asarray(v, jnp.int32)
+        Lp = -(-S // GROUP) * GROUP
+        return jnp.pad(v, (0, Lp - S)).reshape(Lp // GROUP, SUB, LANE)
+
+    meta = jnp.stack([pack(orders), pack(shifts), pack(blocks)], axis=1)
+    co = jnp.asarray(coefs, jnp.int32)[:, :K]
+    Lp = -(-S // GROUP) * GROUP
+    co = jnp.pad(co, ((0, Lp - S), (0, 0)))
+    coef_gm = jnp.moveaxis(co.reshape(Lp // GROUP, SUB, LANE, K), -1, 1)
+    out_gm = lpc_restore_grouped(gm, meta, coef_gm, K, interpret)
+    return groups_to_lanes(out_gm, S, T)

@@ -81,6 +81,10 @@ def main():
     }
     if backend == "tpu":
         _with_roofline(line, "dfpwm", samples / dt)
+    # VERDICT r1 item 10: never quote the headline without the oracle caveat
+    line["note"] = ("DFPWM spec = canonical dfpwm1a incl. the 2^(PREC-7) strength floor; "
+                    "bit-exactness vs CC:Tweaked's dfpwm.lua is unverified in this "
+                    "environment (no Lua, no network) — golden vectors freeze semantics")
     print(json.dumps(line))
 
 

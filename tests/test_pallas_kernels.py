@@ -147,3 +147,99 @@ def test_qoa_pallas_weight_wraparound():
     got, _ = qp.qoa_lms_pallas(dq, hist, wts, interpret=INTERPRET)
     ref, _ = qoa_lms_scan(jnp.asarray(dq), jnp.asarray(hist), jnp.asarray(wts))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_flac_lpc_pallas_matches_int64():
+    """LPC restore limb kernel vs the int64 numpy oracle, within the
+    documented exactness domain (|v| < 2^25, |c| <= 2^14): random orders,
+    shifts incl. 0/15/>15/negative, ragged per-lane blocks."""
+    from aukit_tpu.codecs.flac import restore_lpc_batch
+    from aukit_tpu.kernels import flac_pallas as fp
+
+    L, T = 11, fp.TIME_TILE * 2
+    orders = RNG.integers(0, 33, L).astype(np.int64)
+    shifts = np.array([0, 5, 9, 12, 15, 17, 20, 31, -1, -3, 14][:L], np.int64)
+    blocks = RNG.integers(fp.TIME_TILE // 2, T + 1, L).astype(np.int64)
+    coefs = np.zeros((L, 32), np.int64)
+    vals = np.zeros((L, T), np.int64)
+    for l in range(L):
+        o = orders[l]
+        coefs[l, :o] = RNG.integers(-(1 << 14), (1 << 14) + 1, o)
+        # decaying residuals keep valid-file-like magnitudes in range
+        vals[l, : blocks[l]] = RNG.integers(-2000, 2000, blocks[l])
+        vals[l, :o] = RNG.integers(-30000, 30000, o)
+    # negative shifts multiply: keep their lanes tiny so samples stay exact
+    for l in range(L):
+        if shifts[l] < 0:
+            coefs[l] //= 1 << 12
+            vals[l] = np.clip(vals[l], -3, 3)
+    ref = restore_lpc_batch(vals.copy(), coefs, shifts, orders)
+    # oracle restores past block end too; mask to each lane's block
+    got = np.asarray(fp.lpc_restore_pallas(vals, orders, shifts, blocks, coefs,
+                                           interpret=INTERPRET))
+    for l in range(L):
+        b = int(blocks[l])
+        r = ref[l, :b]
+        if np.abs(r).max() >= fp.MAX_ABS_SAMPLE:
+            continue  # out of the documented exactness domain
+        np.testing.assert_array_equal(got[l, :b], r, err_msg=f"lane {l}")
+
+
+def test_flac_lpc_pallas_typical_stream():
+    """Order-8 lane set shaped like a real file (uniform blocks)."""
+    from aukit_tpu.codecs.flac import restore_lpc_batch
+    from aukit_tpu.kernels import flac_pallas as fp
+
+    L, T = 4, fp.TIME_TILE
+    order, shift = 8, 9
+    coefs = np.zeros((L, 32), np.int64)
+    coefs[:, :order] = [120, -60, 30, -15, 8, -4, 2, -1]
+    vals = RNG.integers(-800, 800, (L, T)).astype(np.int64)
+    orders = np.full(L, order, np.int64)
+    shifts = np.full(L, shift, np.int64)
+    blocks = np.full(L, T, np.int64)
+    ref = restore_lpc_batch(vals.copy(), coefs, shifts, orders)
+    got = np.asarray(fp.lpc_restore_pallas(vals, orders, shifts, blocks, coefs,
+                                           interpret=INTERPRET))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_flac_lpc_pallas_routed_flow_matches_cpp():
+    """End-to-end shape of the TPU routing branch in restore_and_decorrelate:
+    parse a real LPC stream, restore via the kernel (interpret), flat-gather —
+    must equal the C++ int64 flat restore bit-for-bit."""
+    from tests import fixtures
+    from aukit_tpu.codecs import flac as fc
+    from aukit_tpu.kernels import flac_pallas as fp
+    from aukit_tpu.native import flacbits as nb
+
+    if not nb.available():
+        pytest.skip("native parser unavailable")
+    n = 512
+    order, shift, coefs_l = 8, 9, [120, -60, 30, -15, 8, -4, 2, -1]
+    sig = np.cumsum(RNG.integers(-60, 60, n)).astype(np.int64)
+    res = list(sig[:order].astype(int))
+    for i in range(order, n):
+        pred = sum(int(sig[i - 1 - j]) * coefs_l[j] for j in range(order)) >> shift
+        res.append(int(sig[i]) - pred)
+    frame = fixtures.flac_frame(
+        [{"type": "lpc", "order": order, "warmup": [int(v) for v in sig[:order]],
+          "precision": 8, "shift": shift, "coefs": coefs_l,
+          "residuals": res[order:], "param": 7, "partition_order": 0}], n, 0, 16)
+    data = fixtures.flac_stream_header(48000, 1, 16, 5 * n) + frame * 5
+    _, _, _, _, _, pos = fc.parse_flac_header(data)
+    fm, sub, coefs, values = fc.parse_all_frames(data, pos, 1, 16)
+    offs = np.concatenate([[0], np.cumsum(sub["block"])])
+    exp_flat = nb.restore_lpc_flat(values.copy(), offs[:-1], sub["block"],
+                                   sub["order"], sub["shift"], sub["wasted"], coefs)
+    S = len(sub["order"])
+    T_max = int(sub["block"].max())
+    vals = np.zeros((S, T_max), np.int32)
+    for i in range(S):
+        vals[i, : sub["block"][i]] = values[offs[i] : offs[i + 1]]
+    restored = np.asarray(fp.lpc_restore_pallas(
+        vals, sub["order"], sub["shift"], sub["block"], coefs,
+        interpret=INTERPRET)).astype(np.int64)
+    restored <<= sub["wasted"][:, None]
+    keep = np.arange(T_max)[None, :] < sub["block"][:, None]
+    np.testing.assert_array_equal(restored[keep], exp_flat)
