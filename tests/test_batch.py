@@ -330,3 +330,20 @@ def test_batch_bulk_feed_segmented():
     ref.feed_array(full, eof=True)
     ra, rb = eng.step(), ref.step()
     np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rb[0]))
+
+
+def test_batch_pcm16_stereo_and_alaw():
+    """Stereo PCM16 lanes mono-mix on device; alaw group decodes per LUT ref."""
+    rate = 48000
+    l = (np.sin(np.arange(rate) / 7.0) * 14000).astype(np.int16)
+    r = (np.cos(np.arange(rate) / 9.0) * 9000).astype(np.int16)
+    inter = np.stack([l, r], axis=1).reshape(-1).tobytes()
+    alaw = bytes(RNG.integers(0, 256, 8000, dtype=np.uint8))
+    specs = [LaneSpec("pcm16", rate, channels=2), LaneSpec("alaw", 8000)]
+    outs, _ = run_engine(specs, [inter, alaw])
+    mono = (norm16f(l.astype(np.int64)) + norm16f(r.astype(np.int64))) / 2
+    exp, _ = dsp_ref(mono, rate)
+    np.testing.assert_allclose(outs[0][: len(exp)], exp, atol=1)
+    g = refc.g711_ref(alaw, False, 1)[0]
+    exp_a, _ = dsp_ref(g.astype(np.float32), 8000)
+    np.testing.assert_allclose(outs[1][: len(exp_a)], exp_a, atol=1)
