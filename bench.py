@@ -265,14 +265,14 @@ def bench_all():
           "residuals": res[order:], "param": 7, "partition_order": 2}], n, 0, 16)
     nframes = 700  # ~60 s at 48 kHz
     flac_data = fixtures.flac_stream_header(48000, 1, 16, nframes * n) + one * nframes
-    fc.decode_flac(flac_data[: len(flac_data) // 8])  # warm (builds .so, jit)
+    fc.decode_flac(fixtures.flac_stream_header(48000, 1, 16, 2 * n) + one * 2)  # warm
     t0 = time.time()
     arr, _sr, _m, _d = fc.decode_flac(flac_data)
     dt = time.time() - t0
     lines.append({"metric": "flac_decode_realtime", "value": round(arr.shape[1] / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
     qoa_data = fixtures.qoa_stream(rng, 2, 44100, [5120] * 520) + b"\x00" * 8  # ~60 s
-    decode_qoa(qoa_data[: len(qoa_data) // 8] + b"\x00" * 8)  # warm
+    decode_qoa(fixtures.qoa_stream(rng, 2, 44100, [5120] * 4) + b"\x00" * 8)  # warm
     t0 = time.time()
     smp, _r, _t = decode_qoa(qoa_data)
     dt = time.time() - t0
