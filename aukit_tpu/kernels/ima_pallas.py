@@ -27,6 +27,7 @@ SUB = 32
 LANE = 128
 GROUP = SUB * LANE
 TIME_TILE = 512  # nibbles per grid step
+UNROLL = 4  # nibbles per loop iteration (loop overhead dominates at 1)
 
 _STEP_TBL_PADDED = np.pad(IMA_STEP_TABLE, (0, LANE - len(IMA_STEP_TABLE))).astype(np.int32)
 
@@ -43,18 +44,24 @@ def _ima_kernel(nvalid_ref, tbl_ref, nib_ref, state_ref, out_ref, state_out_ref,
 
     def body(i, carry):
         pred, sidx = carry
-        nib = nib_ref[0, i].astype(jnp.int32)
-        step = jnp.take_along_axis(tbl, sidx, axis=1)
-        m = nib & 7
-        nsidx = jnp.clip(sidx + jnp.where(m < 4, -1, (m - 3) * 2), 0, 88)
-        diff = ((m * step) >> 2) + (step >> 3)
-        npred = jnp.clip(jnp.where(nib >= 8, pred - diff, pred + diff), -32768, 32767)
-        out_ref[0, i] = npred.astype(jnp.int16)
-        valid = (t * TIME_TILE + i) < nvalid
-        return (jnp.where(valid, npred, pred), jnp.where(valid, nsidx, sidx))
+        nibs = nib_ref[0, pl.ds(i * UNROLL, UNROLL)].astype(jnp.int32)
+        outs = []
+        for u in range(UNROLL):
+            nib = nibs[u]
+            step = jnp.take_along_axis(tbl, sidx, axis=1)
+            m = nib & 7
+            nsidx = jnp.clip(sidx + jnp.where(m < 4, -1, (m - 3) * 2), 0, 88)
+            diff = ((m * step) >> 2) + (step >> 3)
+            npred = jnp.clip(jnp.where(nib >= 8, pred - diff, pred + diff), -32768, 32767)
+            outs.append(npred.astype(jnp.int16))
+            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+            pred = jnp.where(valid, npred, pred)
+            sidx = jnp.where(valid, nsidx, sidx)
+        out_ref[0, pl.ds(i * UNROLL, UNROLL)] = jnp.stack(outs)
+        return (pred, sidx)
 
     init = (st[0], st[1])
-    pred, sidx = jax.lax.fori_loop(0, nib_ref.shape[1], body, init)
+    pred, sidx = jax.lax.fori_loop(0, nib_ref.shape[1] // UNROLL, body, init)
     st[0], st[1] = pred, sidx
     state_out_ref[0] = jnp.stack([pred, sidx])
 

@@ -31,6 +31,7 @@ SUB = 32
 LANE = 128
 GROUP = SUB * LANE
 TIME_TILE = 512  # nibbles per grid step
+UNROLL = 4  # nibbles per loop iteration (loop overhead dominates at 1)
 
 
 def _adapt(nib, m):
@@ -55,21 +56,26 @@ def _ms_kernel(nvalid_ref, nib_ref, state_ref, coef_ref, out_ref, state_out_ref,
 
     def body(i, carry):
         s1, s2, delta = carry
-        nib = nib_ref[0, i].astype(jnp.int32)
-        lin = (s1 * c1 + s2 * c2) >> 8
-        pred = jnp.clip(lin + nib * delta, -32768, 32767)
-        out_ref[0, i] = pred.astype(jnp.int16)
-        m = jnp.abs(nib)
-        ndelta = jnp.clip((_adapt(nib, m) * delta) >> 8, 16, _DELTA_CAP)
-        valid = (t * TIME_TILE + i) < nvalid
-        return (
-            jnp.where(valid, pred, s1),
-            jnp.where(valid, s1, s2),
-            jnp.where(valid, ndelta, delta),
-        )
+        nibs = nib_ref[0, pl.ds(i * UNROLL, UNROLL)].astype(jnp.int32)
+        outs = []
+        for u in range(UNROLL):
+            nib = nibs[u]
+            lin = (s1 * c1 + s2 * c2) >> 8
+            pred = jnp.clip(lin + nib * delta, -32768, 32767)
+            outs.append(pred.astype(jnp.int16))
+            m = jnp.abs(nib)
+            ndelta = jnp.clip((_adapt(nib, m) * delta) >> 8, 16, _DELTA_CAP)
+            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+            s1, s2, delta = (
+                jnp.where(valid, pred, s1),
+                jnp.where(valid, s1, s2),
+                jnp.where(valid, ndelta, delta),
+            )
+        out_ref[0, pl.ds(i * UNROLL, UNROLL)] = jnp.stack(outs)
+        return (s1, s2, delta)
 
     init = (st[0], st[1], st[2])
-    s1, s2, delta = jax.lax.fori_loop(0, nib_ref.shape[1], body, init)
+    s1, s2, delta = jax.lax.fori_loop(0, nib_ref.shape[1] // UNROLL, body, init)
     st[0], st[1], st[2] = s1, s2, delta
     state_out_ref[0] = jnp.stack([s1, s2, delta])
 

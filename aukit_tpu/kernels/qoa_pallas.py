@@ -32,6 +32,9 @@ TIME_TILE = 256  # samples per grid step (512 int16 in+out blocks
 # double-buffer to 16.6 MB and overflow the 16 MB scoped VMEM limit)
 
 
+UNROLL = 4  # samples per loop iteration (loop overhead dominates at 1)
+
+
 def _qoa_kernel(nvalid_ref, dq_ref, state_ref, out_ref, state_out_ref, st):
     t = pl.program_id(1)
     nvalid = nvalid_ref[0]
@@ -42,29 +45,34 @@ def _qoa_kernel(nvalid_ref, dq_ref, state_ref, out_ref, state_out_ref, st):
 
     def body(i, carry):
         h0, h1, h2, h3, w0, w1, w2, w3 = carry
-        dq = dq_ref[0, i].astype(jnp.int32)
-        pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> 13  # int32 wrap = spec
-        recon = jnp.clip(pred + dq, -32768, 32767)
-        out_ref[0, i] = recon.astype(jnp.int16)
-        delta = dq >> 4
-        nw0 = w0 + jnp.where(h0 < 0, -delta, delta)
-        nw1 = w1 + jnp.where(h1 < 0, -delta, delta)
-        nw2 = w2 + jnp.where(h2 < 0, -delta, delta)
-        nw3 = w3 + jnp.where(h3 < 0, -delta, delta)
-        valid = (t * TIME_TILE + i) < nvalid
-        return (
-            jnp.where(valid, h1, h0),
-            jnp.where(valid, h2, h1),
-            jnp.where(valid, h3, h2),
-            jnp.where(valid, recon, h3),
-            jnp.where(valid, nw0, w0),
-            jnp.where(valid, nw1, w1),
-            jnp.where(valid, nw2, w2),
-            jnp.where(valid, nw3, w3),
-        )
+        dqs = dq_ref[0, pl.ds(i * UNROLL, UNROLL)].astype(jnp.int32)
+        outs = []
+        for u in range(UNROLL):
+            dq = dqs[u]
+            pred = (w0 * h0 + w1 * h1 + w2 * h2 + w3 * h3) >> 13  # int32 wrap = spec
+            recon = jnp.clip(pred + dq, -32768, 32767)
+            outs.append(recon.astype(jnp.int16))
+            delta = dq >> 4
+            nw0 = w0 + jnp.where(h0 < 0, -delta, delta)
+            nw1 = w1 + jnp.where(h1 < 0, -delta, delta)
+            nw2 = w2 + jnp.where(h2 < 0, -delta, delta)
+            nw3 = w3 + jnp.where(h3 < 0, -delta, delta)
+            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+            h0, h1, h2, h3, w0, w1, w2, w3 = (
+                jnp.where(valid, h1, h0),
+                jnp.where(valid, h2, h1),
+                jnp.where(valid, h3, h2),
+                jnp.where(valid, recon, h3),
+                jnp.where(valid, nw0, w0),
+                jnp.where(valid, nw1, w1),
+                jnp.where(valid, nw2, w2),
+                jnp.where(valid, nw3, w3),
+            )
+        out_ref[0, pl.ds(i * UNROLL, UNROLL)] = jnp.stack(outs)
+        return (h0, h1, h2, h3, w0, w1, w2, w3)
 
     init = tuple(st[i] for i in range(8))
-    carry = jax.lax.fori_loop(0, dq_ref.shape[1], body, init)
+    carry = jax.lax.fori_loop(0, dq_ref.shape[1] // UNROLL, body, init)
     for i in range(8):
         st[i] = carry[i]
     state_out_ref[0] = jnp.stack(carry)
