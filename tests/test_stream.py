@@ -602,3 +602,31 @@ def test_ws_ingestion_end_to_end():
     it2, _ = ak.stream.pcm(payload, 16, "signed", 1, 48000, False, False)
     exp = np.concatenate([c for c, _ in collect(it2)], axis=1)
     np.testing.assert_array_equal(got, exp)
+
+
+def test_stream_seek_points_resume_exactly():
+    """stream/seek.py: resuming a block codec from the returned byte offset
+    reproduces the from-start decode at the landing time (SURVEY §5.4)."""
+    from aukit_tpu.stream import seek as sk
+
+    ba, rate = 256, 8000
+    payload = fixtures.ima_wav_blocks(RNG, 40, ba, 1)  # ~2.5 s
+    off, landing = sk.ima_seek(1.3, rate, ba, 1)
+    spb = (ba - 4) * 2
+    assert off % ba == 0 and abs(landing - (off // ba) * spb / rate) < 1e-12
+    full_it, _ = ak.stream.adpcm(payload, ba, 1, rate)
+    full = np.concatenate([c for c, _ in collect(full_it)], axis=1)
+    part_it, _ = ak.stream.adpcm(payload[off:], ba, 1, rate)
+    part = np.concatenate([c for c, _ in collect(part_it)], axis=1)
+    skip = int(round(landing * 48000))
+    n = min(part.shape[1], full.shape[1] - skip)
+    # identical per-second block batching from a block boundary: both decodes
+    # share block state (in-band), resample phase resets per call chunk
+    assert n > 48000
+    np.testing.assert_allclose(part[:, :n], full[:, skip : skip + n], atol=2.0)
+
+    # QOA frame seek: landing on a frame boundary
+    data = fixtures.qoa_stream(RNG, 1, 10240, [5120] * 4) + b"\x00" * 8
+    off_q, landing_q = sk.qoa_seek(data, 1.2)
+    assert landing_q <= 1.2
+    assert (off_q - 8) % (8 + 16 + 256 * 8) == 0  # frame-aligned
