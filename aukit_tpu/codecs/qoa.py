@@ -71,14 +71,12 @@ def qoa_lms_scan(dequantized: jnp.ndarray, history: jnp.ndarray, weights: jnp.nd
 
 
 def qoa_lms_batched(dq: np.ndarray, hist: np.ndarray, wts: np.ndarray) -> np.ndarray:
-    """LMS reconstruction on the fastest available backend: the Pallas kernel
-    for big TPU batches, native C++ on the host otherwise (loader path), else
-    the jitted lax.scan."""
-    if jax.default_backend() == "tpu" and dq.shape[0] * dq.shape[1] >= 1 << 22:
-        from ..kernels.qoa_pallas import qoa_lms_pallas
-
-        out, _ = qoa_lms_pallas(dq, hist, wts)
-        return np.asarray(out)
+    """LMS reconstruction for HOST-resident data (the whole-file loader path):
+    native C++ when available, else the jitted lax.scan. The Pallas kernel
+    (kernels/qoa_pallas.py) is for device-resident flows — the batch engine
+    calls it directly; routing host loads through it pays two bulk
+    host<->HBM transfers per call, which loses badly on remote-TPU links
+    (measured ~3 MB/s through this environment's tunnel)."""
     from ..native import flacbits as _nb
 
     if _nb.available():

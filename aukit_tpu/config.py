@@ -34,8 +34,11 @@ class Config:
 
     # Minimum batch size (subframes x max block) at which FLAC LPC restore
     # routes to the Pallas kernel on TPU (kernels/flac_pallas.py; exact for
-    # depth <= 24). Below it the dispatch+transfer overhead beats the win.
-    flac_device_restore_min: int = 1 << 22
+    # depth <= 24). Default OFF: the loader's data is host-resident and this
+    # environment reaches its TPU through a ~3 MB/s tunnel, so the two bulk
+    # transfers lose to the C++ restore at any size. Hosts with locally
+    # attached chips should set ~1<<22.
+    flac_device_restore_min: int = 1 << 62
 
 
 CONFIG = Config()

@@ -69,6 +69,23 @@ class BatchMetrics:
         return self.samples_decoded / self.wall_seconds / CONFIG.output_rate
 
 
+def _concat_cols(parts, n: int, lanes: int):
+    """Column-concatenate segments (host or device) and zero-pad to n."""
+    if all(isinstance(p, np.ndarray) for p in parts):
+        out = np.zeros((lanes, n), np.uint8)
+        at = 0
+        for p in parts:
+            out[:, at : at + p.shape[1]] = p
+            at += p.shape[1]
+        return out
+    import jax.numpy as jnp
+
+    cat = jnp.concatenate([jnp.asarray(p) for p in parts], axis=1)
+    if cat.shape[1] < n:
+        cat = jnp.pad(cat, ((0, 0), (0, n - cat.shape[1])))
+    return cat
+
+
 class _GroupIO:
     """Per-group ingestion buffers.
 
@@ -98,11 +115,15 @@ class _GroupIO:
             self.bufs = [bytearray() for _ in range(self.lanes)]
         self.bufs[slot].extend(data)
 
-    def feed_bulk(self, arr: np.ndarray, eof: bool):
+    def feed_bulk(self, arr, eof: bool):
         if self.mode == "lane":
             raise RuntimeError("group already fed via feed(); cannot mix with feed_array()")
         self.mode = "bulk"
-        if arr.dtype != np.uint8:
+        # device (jax) arrays are accepted: staging then slices ON DEVICE and
+        # the step skips the host->HBM transfer entirely — the path for
+        # TPU-host-resident ingestion (and for benchmarking the engine without
+        # a remote-tunnel transfer bottleneck)
+        if isinstance(arr, np.ndarray) and arr.dtype != np.uint8:
             arr = arr.astype(np.uint8)
         if arr.shape[0] != self.lanes:
             raise ValueError(f"feed_array rows {arr.shape[0]} != group lanes {self.lanes}")
@@ -128,7 +149,7 @@ class _GroupIO:
         if self.mode == "bulk":
             parts, off = [], self.seg_off
             for s in self.segs:
-                parts.append(s[slot, off:].tobytes())
+                parts.append(np.asarray(s[slot, off:]).tobytes())
                 off = 0
             return b"".join(parts)
         if self.mode == "lane":
@@ -162,29 +183,26 @@ class _GroupIO:
                         self.segs.popleft()
                         self.seg_off = 0
                 else:  # chunk spans segments: assemble once
-                    staged = np.empty((self.lanes, n), np.uint8)
+                    parts = []
                     filled = 0
                     while filled < n:
                         head = self.segs[0]
                         take = min(n - filled, head.shape[1] - self.seg_off)
-                        staged[:, filled : filled + take] = head[
-                            :, self.seg_off : self.seg_off + take
-                        ]
+                        parts.append(head[:, self.seg_off : self.seg_off + take])
                         filled += take
                         self.seg_off += take
                         if self.seg_off == head.shape[1]:
                             self.segs.popleft()
                             self.seg_off = 0
+                    staged = _concat_cols(parts, n, self.lanes)
                 return staged, np.ones(self.lanes, bool), np.full(self.lanes, n, np.int64), False
             if tot > 0 and self.eof.all():
-                staged = np.zeros((self.lanes, n), np.uint8)
-                filled = 0
+                parts = []
                 while self.segs:
                     head = self.segs.popleft()
-                    take = head.shape[1] - self.seg_off
-                    staged[:, filled : filled + take] = head[:, self.seg_off :]
-                    filled += take
+                    parts.append(head[:, self.seg_off :])
                     self.seg_off = 0
+                staged = _concat_cols(parts, n, self.lanes)
                 return staged, np.ones(self.lanes, bool), np.full(self.lanes, tot, np.int64), False
             return None
         if self.mode == "lane":
@@ -383,16 +401,20 @@ class BatchStreamEngine:
         for lane, d in enumerate(datas):
             self.feed(lane, d)
 
-    def feed_array(self, arr: np.ndarray, eof: bool = True):
+    def feed_array(self, arr, eof: bool = True):
         """Bulk ingestion: ``uint8[L, B]`` rows in engine lane order. Bulk-fed
         groups stage chunks as views — no per-lane host loop (the fast path
-        for benchmark/offline fleets)."""
-        arr = np.asarray(arr)
+        for benchmark/offline fleets). A device (jax) array keeps staging and
+        decode entirely on device (TPU-host-resident ingestion)."""
+        if isinstance(arr, (bytes, bytearray, list, tuple)):
+            arr = np.asarray(arr)
         if arr.shape[0] != self.lanes:
             raise ValueError(f"feed_array rows {arr.shape[0]} != lanes {self.lanes}")
         for g in self.groups:
             rows = arr[g.slots] if len(self.groups) > 1 else arr
-            g.io.feed_bulk(np.ascontiguousarray(rows), eof)
+            if isinstance(rows, np.ndarray):
+                rows = np.ascontiguousarray(rows)
+            g.io.feed_bulk(rows, eof)
 
     @property
     def active(self) -> np.ndarray:

