@@ -300,18 +300,23 @@ def bench_all():
     force(eng.step()[0][:1, :8])  # first chunk warms the step compile
     t0 = time.time()
     decoded = 0
+    last = None
     while True:
         r = eng.step()
         if r is None:
             break
         decoded += int(r[1].sum()) * chunk * 8
-        force(r[0][:1, :8])  # fetch a sliver: forces materialization per chunk
+        last = r[0]
+    # one dependent fetch at the end: the DFPWM state chain across steps forces
+    # every dispatch; per-step fetches would serialize on the tunnel RTT
+    force(last[:1, :8])
     dt = time.time() - t0
     lines.append({"metric": f"batch_engine_dfpwm_realtime_{backend}",
                   "value": round(decoded / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None,
-                  "note": "device-resident ingestion; includes engine staging, "
-                          "masking, dispatch and state carry"})
+                  "note": "device-resident ingestion; includes staging, masking, "
+                          "state carry AND the full resample/FIR/int8 DSP chain "
+                          "(the raw-kernel headline measures decode only)"})
 
     # mixed fleet: one engine, four codecs, three sample rates (heterogeneous
     # path assembles uniform 1 s host windows -> fetch-inclusive number)
