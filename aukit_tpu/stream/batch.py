@@ -29,9 +29,11 @@ independent streams into fixed lanes:
 
 Output contract: homogeneous engines (one group) emit each decode chunk
 directly as a device array (the flagship DFPWM bench path). Heterogeneous
-engines emit uniform ``int8[L, output_rate]`` one-second host chunks,
-assembled from per-group FIFOs because block codecs decode whole blocks
-(>= 1 s of input per step, reference per-second batching aukit.lua:2617-2619).
+engines emit uniform ``int8[L, output_rate]`` one-second windows — ALSO
+device-resident, assembled from device-side per-group FIFOs (block codecs
+decode whole blocks, >= 1 s of input per step, reference per-second batching
+aukit.lua:2617-2619); audio only crosses to the host when the consumer
+fetches it.
 """
 
 from __future__ import annotations
@@ -310,29 +312,32 @@ class _Group:
         self.samples_in += np.where(ready, (consumed * self.in_samples) // self.in_bytes, 0)
         return out, ready, underrun
 
-    # -- mixed-engine FIFO ----------------------------------------------------
-    def fifo_push(self, out_np: np.ndarray, ready: np.ndarray):
-        if self.fifo is None:
-            cap = self.out_samples + CONFIG.output_rate
-            self.fifo = np.zeros((self.lanes, cap), np.int8)
-        need = self.fill + out_np.shape[1]
-        if need > self.fifo.shape[1]:
-            self.fifo = np.concatenate(
-                [self.fifo, np.zeros((self.lanes, need - self.fifo.shape[1]), np.int8)], axis=1
-            )
-        self.fifo[:, self.fill : self.fill + out_np.shape[1]] = out_np
-        self.fill += out_np.shape[1]
-        self.spans.append((out_np.shape[1], ready))
+    # -- mixed-engine FIFO (DEVICE-resident: windows never round-trip to the
+    # host; concat/slice are async device ops) ---------------------------------
+    def fifo_push(self, out_dev, ready: np.ndarray):
+        import jax.numpy as jnp
+
+        if self.fifo is None or self.fill == 0:
+            self.fifo = out_dev
+        else:
+            self.fifo = jnp.concatenate([self.fifo[:, : self.fill], out_dev], axis=1)
+        self.fill += out_dev.shape[1]
+        self.spans.append((out_dev.shape[1], ready))
 
     def fifo_pop(self, count: int):
         """Pop ``count`` samples (zero-padded if short). Returns
-        (int8[L, count], had_real bool[L])."""
-        out = np.zeros((self.lanes, count), np.int8)
+        (int8[L, count] device array, had_real bool[L] host)."""
+        import jax.numpy as jnp
+
         take = min(count, self.fill)
-        if take and self.fifo is not None:
-            out[:, :take] = self.fifo[:, :take]
-            self.fifo[:, : self.fill - take] = self.fifo[:, take : self.fill]
+        if take:
+            window = self.fifo[:, :take]
+            if take < count:
+                window = jnp.pad(window, ((0, 0), (0, count - take)))
+            self.fifo = self.fifo[:, take : self.fill]
             self.fill -= take
+        else:
+            window = jnp.zeros((self.lanes, count), jnp.int8)
         had_real = np.zeros(self.lanes, bool)
         remaining = take
         while remaining > 0 and self.spans:
@@ -345,7 +350,7 @@ class _Group:
                 self.spans[0] = (n - remaining, mask)
                 remaining = 0
         self.samples_out += np.where(had_real, count, 0)
-        return out, had_real
+        return window, had_real
 
 
 class BatchStreamEngine:
@@ -387,6 +392,9 @@ class BatchStreamEngine:
         for gi, g in enumerate(self.groups):
             for slot, lane in enumerate(g.slots):
                 self._lane_map[lane] = (gi, slot)
+        # inverse permutation: concat-of-groups row order -> engine lane order
+        order = np.concatenate([g.slots for g in self.groups])
+        self._inv_perm = np.argsort(order)
         self.mesh = mesh
         self.metrics = BatchMetrics()
 
@@ -438,10 +446,11 @@ class BatchStreamEngine:
         this step; ``positions`` are per-lane stream positions in seconds at
         chunk start.
 
-        Homogeneous engine: ``chunk`` is a device int8[L, out_samples] array —
-        the dispatch is async, so staging the next chunk overlaps device
-        compute. Heterogeneous engine: ``chunk`` is a host int8[L, output_rate]
-        one-second window assembled from the per-group FIFOs."""
+        ``chunk`` is a device int8 array in both modes (homogeneous:
+        [L, out_samples] straight from the dispatch; heterogeneous:
+        [L, output_rate] windows assembled on device from per-group FIFOs) —
+        dispatches are async, so staging the next chunk overlaps device
+        compute and audio crosses to the host only when fetched."""
         if self.done:
             return None
         t0 = time.perf_counter()
@@ -466,6 +475,8 @@ class BatchStreamEngine:
         return out, ready, positions, g.out_samples
 
     def _step_mixed(self):
+        import jax.numpy as jnp
+
         out_rate = CONFIG.output_rate
         progressed = False
         for g in self.groups:
@@ -475,20 +486,23 @@ class BatchStreamEngine:
                     break
                 out, ready, underrun = r
                 self.metrics.underruns += int(underrun)
-                g.fifo_push(np.asarray(out), ready)
+                g.fifo_push(out, ready)
                 progressed = True
         if not progressed and all(g.fill == 0 for g in self.groups):
             return None
-        chunk = np.zeros((self.lanes, out_rate), np.int8)
         mask = np.zeros(self.lanes, bool)
         positions = np.zeros(self.lanes, np.float64)
+        windows = []
         for g in self.groups:
             positions[g.slots] = g.samples_out / out_rate
             got, had_real = g.fifo_pop(out_rate)
-            chunk[g.slots] = got
+            windows.append(got)
             mask[g.slots] = had_real
         if not mask.any():
             return None
+        # assemble on device: concat in group order, un-permute to lane order
+        cat = jnp.concatenate(windows, axis=0) if len(windows) > 1 else windows[0]
+        chunk = jnp.take(cat, jnp.asarray(self._inv_perm), axis=0)
         return chunk, mask, positions, out_rate
 
     # -- checkpoint / resume (SURVEY.md §5.4) ------------------------------------------

@@ -204,18 +204,6 @@ def _decode_msadpcm(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.nda
         s1 = jnp.stack([s1_l, s1_r], axis=-1).reshape(-1)
         s2 = jnp.stack([s2_l, s2_r], axis=-1).reshape(-1)
     nib = jnp.where(nib >= 8, nib - 16, nib)
-    if ch == 1:
-        c1, c2 = jnp.take(c1_tbl, pidx), jnp.take(c2_tbl, pidx)
-        if use_pallas:
-            from ..kernels.msadpcm_pallas import msadpcm_decode_pallas
-
-            preds, _ = msadpcm_decode_pallas(nib, s1, s2, delta, c1, c2)
-        else:
-            preds = msadpcm_scan(nib, c1, c2, delta, s1, s2)
-        full = jnp.concatenate(
-            [s2[:, None], s1[:, None], preds], axis=1
-        ).reshape(L, -1)
-        return _norm16(full)
     c1, c2 = jnp.take(c1_tbl, pidx), jnp.take(c2_tbl, pidx)
     if use_pallas:
         from ..kernels.msadpcm_pallas import msadpcm_decode_pallas
@@ -223,7 +211,9 @@ def _decode_msadpcm(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.nda
         preds, _ = msadpcm_decode_pallas(nib, s1, s2, delta, c1, c2)
     else:
         preds = msadpcm_scan(nib, c1, c2, delta, s1, s2)
-    full = jnp.concatenate([s2[:, None], s1[:, None], preds], axis=1)  # [L*K*2, 2+T]
+    full = jnp.concatenate([s2[:, None], s1[:, None], preds], axis=1)  # [lanes, 2+T]
+    if ch == 1:
+        return _norm16(full.reshape(L, -1))
     f = _norm16(full).reshape(L, K, 2, -1)
     return _mono(f).reshape(L, -1)
 
