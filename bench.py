@@ -332,6 +332,7 @@ def bench_all():
                 rng.integers(0, 256, (ml, 8000 * secs), dtype=np.uint8)]
     t0 = time.time()
     out_samples = 0
+    acc = jnp.zeros((), jnp.int32)
     for gi, a in enumerate(per_lane):
         for s in range(ml):
             meng.feed(gi * ml + s, a[s].tobytes())
@@ -341,12 +342,15 @@ def bench_all():
         if r is None:
             break
         out_samples += int(r[1].sum()) * r[0].shape[1]
+        # device-side checksum chains every window; one fetch forces them all
+        acc = acc + jnp.sum(jnp.asarray(r[0])[:, ::997].astype(jnp.int32))
+    int(acc)
     dt = time.time() - t0
     lines.append({"metric": f"batch_engine_mixed_realtime_{backend}",
                   "value": round(out_samples / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None,
-                  "note": "heterogeneous path: host-assembled 1 s windows — "
-                          "fetch-bound through this environment's remote-TPU tunnel"})
+                  "note": "heterogeneous 4-codec/3-rate fleet; device-resident "
+                          "windows (host feeds via per-lane byte ingestion)"})
 
     # config 5: auconvert-style effects chain, batched multi-stream (device)
     import aukit_tpu.effects as fx
