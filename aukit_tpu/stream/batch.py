@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import collections
 import dataclasses
+import functools
 import time
 from typing import Sequence
 
@@ -69,6 +70,25 @@ class BatchMetrics:
         if self.wall_seconds == 0:
             return 0.0
         return self.samples_decoded / self.wall_seconds / CONFIG.output_rate
+
+
+@jax.jit
+def _dev_push(fifo, out):
+    return jnp.concatenate([fifo, out], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("take", "count"))
+def _dev_pop(fifo, take: int, count: int):
+    window = fifo[:, :take]
+    if take < count:
+        window = jnp.pad(window, ((0, 0), (0, count - take)))
+    return window, fifo[:, take:]
+
+
+@jax.jit
+def _dev_assemble(windows, inv):
+    cat = jnp.concatenate(windows, axis=0) if len(windows) > 1 else windows[0]
+    return jnp.take(cat, inv, axis=0)
 
 
 def _concat_cols(parts, n: int, lanes: int):
@@ -315,26 +335,21 @@ class _Group:
     # -- mixed-engine FIFO (DEVICE-resident: windows never round-trip to the
     # host; concat/slice are async device ops) ---------------------------------
     def fifo_push(self, out_dev, ready: np.ndarray):
-        import jax.numpy as jnp
-
         if self.fifo is None or self.fill == 0:
             self.fifo = out_dev
         else:
-            self.fifo = jnp.concatenate([self.fifo[:, : self.fill], out_dev], axis=1)
+            self.fifo = _dev_push(self.fifo, out_dev)  # async jitted dispatch
         self.fill += out_dev.shape[1]
         self.spans.append((out_dev.shape[1], ready))
 
     def fifo_pop(self, count: int):
         """Pop ``count`` samples (zero-padded if short). Returns
-        (int8[L, count] device array, had_real bool[L] host)."""
-        import jax.numpy as jnp
-
+        (int8[L, count] device array, had_real bool[L] host). The fifo array
+        length always equals ``fill``; pop is one jitted dispatch (eager slice
+        chains cost a full round trip each on remote-TPU links)."""
         take = min(count, self.fill)
         if take:
-            window = self.fifo[:, :take]
-            if take < count:
-                window = jnp.pad(window, ((0, 0), (0, count - take)))
-            self.fifo = self.fifo[:, take : self.fill]
+            window, self.fifo = _dev_pop(self.fifo, take=take, count=count)
             self.fill -= take
         else:
             window = jnp.zeros((self.lanes, count), jnp.int8)
@@ -394,7 +409,7 @@ class BatchStreamEngine:
                 self._lane_map[lane] = (gi, slot)
         # inverse permutation: concat-of-groups row order -> engine lane order
         order = np.concatenate([g.slots for g in self.groups])
-        self._inv_perm = np.argsort(order)
+        self._inv_perm_dev = jnp.asarray(np.argsort(order))
         self.mesh = mesh
         self.metrics = BatchMetrics()
 
@@ -475,8 +490,6 @@ class BatchStreamEngine:
         return out, ready, positions, g.out_samples
 
     def _step_mixed(self):
-        import jax.numpy as jnp
-
         out_rate = CONFIG.output_rate
         progressed = False
         for g in self.groups:
@@ -501,8 +514,7 @@ class BatchStreamEngine:
         if not mask.any():
             return None
         # assemble on device: concat in group order, un-permute to lane order
-        cat = jnp.concatenate(windows, axis=0) if len(windows) > 1 else windows[0]
-        chunk = jnp.take(cat, jnp.asarray(self._inv_perm), axis=0)
+        chunk = _dev_assemble(tuple(windows), self._inv_perm_dev)
         return chunk, mask, positions, out_rate
 
     # -- checkpoint / resume (SURVEY.md §5.4) ------------------------------------------
