@@ -350,7 +350,10 @@ def bench_all():
                   "value": round(out_samples / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None,
                   "note": "heterogeneous 4-codec/3-rate fleet; device-resident "
-                          "windows (host feeds via per-lane byte ingestion)"})
+                          "windows; host-byte ingestion makes this number "
+                          "transfer-bound through this environment's ~3 MB/s "
+                          "remote-TPU tunnel (PCIe-attached chips ingest ~3000x "
+                          "faster)"})
 
     # config 5: auconvert-style effects chain, batched multi-stream (device)
     import aukit_tpu.effects as fx
