@@ -485,10 +485,21 @@ def decorrelate(rows: np.ndarray, chan_asgn: int):
 
 
 def decode_flac(data: bytes, head: bool = False, use_native: bool | None = None):
-    """Full decode -> (float32[C, N] in [-0.5, 0.5), sample_rate, meta, depth)."""
+    """Full decode -> (float32[C, N] in [-0.5, 0.5), sample_rate, meta, depth).
+
+    Native fast path: ONE fused C++ pass (parse -> restore -> decorrelate ->
+    normalize, cache-hot per frame, native/flacbits.cpp::flac_decode_full) —
+    no intermediate metadata/values arrays. The staged path remains for the
+    pure-Python fallback and as the parity oracle."""
     sample_rate, channels, depth, num_samples, meta, pos = parse_flac_header(data)
     if head:
         return np.zeros((channels, 0), np.float32), sample_rate, meta, depth
+    from ..native import flacbits as _nb
+
+    if use_native is None:
+        use_native = _nb.available()
+    if use_native:
+        return _nb.decode_full(data, pos, channels, depth), sample_rate, meta, depth
     frame_meta, sub, coefs, values = parse_all_frames(data, pos, channels, depth, use_native)
     arr = restore_and_decorrelate(frame_meta, sub, coefs, values, channels, depth)
     norm = (arr.astype(np.float64) / (1 << depth)).astype(np.float32)

@@ -78,6 +78,11 @@ def _load():
         ]
         lib.flac_restore_flat.restype = None
         lib.flac_restore_flat.argtypes = [ctypes.POINTER(ctypes.c_int64)] * 7 + [ctypes.c_int64]
+        lib.flac_decode_full.restype = ctypes.POINTER(_DecodeResult)
+        lib.flac_decode_full.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.flac_decode_free.argtypes = [ctypes.POINTER(_DecodeResult)]
         lib.qoa_lms.restype = None
         lib.qoa_lms.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -88,8 +93,38 @@ def _load():
         return _lib
 
 
+class _DecodeResult(ctypes.Structure):
+    _fields_ = [
+        ("samples", ctypes.POINTER(ctypes.c_float)),
+        ("n", ctypes.c_int64),
+        ("error", ctypes.c_int32),
+    ]
+
+
 def available() -> bool:
     return _load() is not None
+
+
+def decode_full(data: bytes, pos: int, channels: int, depth: int, strict: bool = True):
+    """Fused whole-file decode: parse -> restore -> decorrelate -> normalize
+    in one native pass. Returns float32[C, N] (half-scale, /2^depth).
+    Raises FlacError on malformed streams when strict."""
+    from ..codecs.flac import FlacError
+
+    lib = _load()
+    assert lib is not None
+    res = lib.flac_decode_full(data, len(data), pos, channels, depth)
+    try:
+        r = res.contents
+        if r.error != 0 and strict:
+            raise FlacError(_ERRORS.get(int(r.error), f"FLAC parse error {int(r.error)}"))
+        n = int(r.n)
+        if n == 0:
+            return np.zeros((channels, 0), np.float32)
+        flat = np.ctypeslib.as_array(r.samples, (channels * n,)).copy()
+        return flat.reshape(channels, n)
+    finally:
+        lib.flac_decode_free(res)
 
 
 _ERRORS = {

@@ -15,6 +15,7 @@
 // C ABI for ctypes. All outputs are malloc'd by flac_parse and released by
 // flac_free.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -106,6 +107,49 @@ struct SubMeta {
     bool is_fixed = false;
     int32_t coef_buf[32] = {0};
 };
+
+// Order-specialized restore inner loop: a compile-time tap count lets the
+// compiler fully unroll and software-pipeline the MAC chain (the runtime-
+// order loop can't) — ~2x on the typical order-8 path.
+template <int ORDER>
+static void restore_taps(int64_t* v, int64_t T, const int64_t* c, int shift) {
+    if (shift >= 0) {
+        for (int64_t i = ORDER; i < T; i++) {
+            int64_t sum = 0;
+            for (int j = 0; j < ORDER; j++) sum += v[i - 1 - j] * c[j];
+            v[i] += sum >> shift;
+        }
+    } else {
+        for (int64_t i = ORDER; i < T; i++) {
+            int64_t sum = 0;
+            for (int j = 0; j < ORDER; j++) sum += v[i - 1 - j] * c[j];
+            v[i] += sum << (-shift);
+        }
+    }
+}
+
+static void restore_generic(int64_t* v, int64_t T, const int64_t* c, int order, int shift) {
+    switch (order) {
+        case 1: return restore_taps<1>(v, T, c, shift);
+        case 2: return restore_taps<2>(v, T, c, shift);
+        case 3: return restore_taps<3>(v, T, c, shift);
+        case 4: return restore_taps<4>(v, T, c, shift);
+        case 5: return restore_taps<5>(v, T, c, shift);
+        case 6: return restore_taps<6>(v, T, c, shift);
+        case 7: return restore_taps<7>(v, T, c, shift);
+        case 8: return restore_taps<8>(v, T, c, shift);
+        case 9: return restore_taps<9>(v, T, c, shift);
+        case 10: return restore_taps<10>(v, T, c, shift);
+        case 11: return restore_taps<11>(v, T, c, shift);
+        case 12: return restore_taps<12>(v, T, c, shift);
+        default:
+            for (int64_t i = order; i < T; i++) {
+                int64_t sum = 0;
+                for (int j = 0; j < order; j++) sum += v[i - 1 - j] * c[j];
+                v[i] += shift >= 0 ? (sum >> shift) : (sum << (-shift));
+            }
+    }
+}
 
 }  // namespace
 
@@ -414,6 +458,149 @@ void flac_restore(int64_t* values, const int64_t* blocks, const int64_t* orders,
     }
 }
 
+// Fused whole-file decode: parse -> LPC restore -> stereo decorrelate ->
+// sign wrap -> float normalize in ONE pass per frame, while the frame's
+// values are cache-hot — no intermediate metadata/values arrays cross the
+// C/Python boundary (the loader's fast path; the meta-emitting flac_parse
+// remains for the incremental stream path). Semantics identical to
+// codecs/flac.py::decode_flac: /2^depth half-scale normalize (aukit.lua:
+// 524-526), one-sided sign wrap after decorrelation, lenient truncation.
+struct FlacDecodeResult {
+    float* samples;  // planar [channels][n]
+    int64_t n;       // samples per channel
+    int32_t error;   // same codes as FlacParseResult (0/always-lenient here)
+};
+
+void flac_decode_free(FlacDecodeResult* r) {
+    if (!r) return;
+    free(r->samples);
+    free(r);
+}
+
+FlacDecodeResult* flac_decode_full(const uint8_t* data, int64_t len, int64_t start_pos,
+                                   int32_t channels, int32_t depth) {
+    auto* res = (FlacDecodeResult*)calloc(1, sizeof(FlacDecodeResult));
+    BitReader br(data, (size_t)len, (size_t)start_pos);
+    std::vector<std::vector<float>> out((size_t)channels);
+    std::vector<int32_t> values;
+    const double inv_full = 1.0 / (double)((int64_t)1 << depth);
+    const int64_t half = (int64_t)1 << (depth - 1);
+    const int64_t full = (int64_t)1 << depth;
+    std::vector<int64_t> a_buf, b_buf;
+    for (;;) {
+        if (!br.fill(8)) break;  // clean EOF
+        uint32_t b0 = br.u(8);
+        uint32_t sync = b0 * 64 + br.u(6);
+        if (br.error) { res->error = 7; break; }
+        if (sync != 0x3FFE) { res->error = 4; break; }
+        br.u(2);
+        uint32_t bsc = br.u(4);
+        uint32_t src = br.u(4);
+        uint32_t ca = br.u(4);
+        br.u(4);
+        uint32_t tmp = br.u(8);
+        if (br.error) { res->error = 7; break; }
+        int t2 = -1;
+        for (int i = 7; i >= 0; i--) {
+            if (!(tmp & (1u << i))) break;
+            t2++;
+        }
+        for (int i = 0; i < t2; i++) br.u(8);
+        int block_size;
+        if (bsc == 1) block_size = 192;
+        else if (bsc >= 2 && bsc <= 5) block_size = 576 << (bsc - 2);
+        else if (bsc == 6) block_size = (int)br.u(8) + 1;
+        else if (bsc == 7) block_size = (int)br.u(16) + 1;
+        else if (bsc >= 8 && bsc <= 15) block_size = 256 << (bsc - 8);
+        else { res->error = 5; break; }
+        if (src == 12) br.u(8);
+        else if (src == 13 || src == 14) br.u(16);
+        br.u(8);
+        if (br.error) { res->error = 7; break; }
+        int nsubs;
+        int sub_depths[8];
+        if (ca <= 7) {
+            nsubs = channels;
+            for (int i = 0; i < nsubs; i++) sub_depths[i] = depth;
+        } else if (ca <= 10) {
+            nsubs = 2;
+            sub_depths[0] = depth + (ca == 9 ? 1 : 0);
+            sub_depths[1] = depth + (ca == 9 ? 0 : 1);
+        } else { res->error = 6; break; }
+        values.clear();
+        SubMeta metas[8];
+        bool ok = true;
+        for (int i = 0; i < nsubs && ok; i++)
+            ok = decode_subframe(br, sub_depths[i], block_size, values, metas[i], &res->error);
+        if (!ok) break;
+        br.align();
+        br.u(16);
+        br.error = false;
+        // restore + wasted shift per subframe (int64 accumulators, cache-hot)
+        a_buf.assign((size_t)block_size, 0);
+        b_buf.assign((size_t)block_size, 0);
+        for (int s = 0; s < nsubs; s++) {
+            const int32_t* v32 = values.data() + (size_t)s * block_size;
+            int64_t* v = s == 0 ? a_buf.data() : b_buf.data();
+            std::vector<int64_t> extra;
+            if (s >= 2) {  // >2-channel independent frames
+                extra.assign((size_t)block_size, 0);
+                v = extra.data();
+            }
+            for (int i = 0; i < block_size; i++) v[i] = v32[i];
+            const SubMeta& m = metas[s];
+            if (m.order > 0) {
+                int64_t c[32];
+                for (int j = 0; j < m.order; j++)
+                    c[j] = m.is_fixed ? FIXED_COEFS[m.order][j] : m.coef_buf[j];
+                restore_generic(v, block_size, c, m.order, m.shift);
+            }
+            if (m.wasted)
+                for (int i = 0; i < block_size; i++) v[i] <<= m.wasted;
+            if (s >= 2) {  // independent channel: wrap+emit immediately
+                auto& ch = out[(size_t)s];
+                for (int i = 0; i < block_size; i++) {
+                    int64_t x = v[i] >= half ? v[i] - full : v[i];
+                    ch.push_back((float)((double)x * inv_full));
+                }
+            }
+        }
+        // decorrelate channels 0/1 + sign wrap + normalize
+        int emit = nsubs < 2 ? 1 : 2;
+        for (int i = 0; i < block_size; i++) {
+            int64_t a = a_buf[i], b = emit > 1 ? b_buf[i] : 0;
+            if (ca == 8) b = a - b;           // left/side
+            else if (ca == 9) a = a + b;      // side/right
+            else if (ca == 10) {              // mid/side
+                int64_t side = b;
+                int64_t right = a - (side >> 1);
+                b = right;
+                a = right + side;
+            }
+            int64_t wa = a >= half ? a - full : a;
+            out[0].push_back((float)((double)wa * inv_full));
+            if (channels > 1) {
+                int64_t wb = b >= half ? b - full : b;
+                out[1].push_back((float)((double)(emit > 1 ? wb : 0) * inv_full));
+            }
+        }
+        // channels beyond nsubs (ca<=7 handled above; stereo modes: none)
+        for (int cch = (ca <= 7 ? nsubs : 2); cch < channels; cch++)
+            for (int i = 0; i < block_size; i++) out[(size_t)cch].push_back(0.0f);
+    }
+    res->n = (int64_t)out[0].size();
+    res->samples = (float*)malloc((size_t)channels * (size_t)res->n * sizeof(float) + 1);
+    for (int cch = 0; cch < channels; cch++) {
+        // short channels (shouldn't happen) zero-pad defensively
+        size_t m = out[(size_t)cch].size();
+        memcpy(res->samples + (size_t)cch * res->n, out[(size_t)cch].data(),
+               std::min<size_t>(m, (size_t)res->n) * sizeof(float));
+        for (size_t i = m; i < (size_t)res->n; i++)
+            res->samples[(size_t)cch * res->n + i] = 0.0f;
+    }
+    return res;
+}
+
 // Flat-layout batched LPC restore: operates in place on the parser's
 // concatenated values (one span of blocks[s] samples per subframe at
 // offs[s]) — no padded-matrix staging on the Python side. Also applies the
@@ -427,13 +614,7 @@ void flac_restore_flat(int64_t* flat, const int64_t* offs, const int64_t* blocks
         int order = (int)orders[s];
         int shift = (int)shifts[s];
         const int64_t* c = coefs + s * 32;
-        if (order > 0) {
-            for (int64_t i = order; i < T; i++) {
-                int64_t sum = 0;
-                for (int j = 0; j < order; j++) sum += v[i - 1 - j] * c[j];
-                v[i] += shift >= 0 ? (sum >> shift) : (sum << (-shift));
-            }
-        }
+        if (order > 0) restore_generic(v, T, c, order, shift);
         if (wasted[s]) {
             int w = (int)wasted[s];
             for (int64_t i = 0; i < T; i++) v[i] <<= w;
