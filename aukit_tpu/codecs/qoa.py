@@ -224,8 +224,12 @@ def parse_qoa_bulk(data: bytes, pos: int, file_channels: int, file_sample_rate: 
     return dq, hist, wts, samples
 
 
-def decode_qoa(data: bytes):
-    """QOA bytes -> (int32[C, N] reconstructed samples, sample_rate, file_samples)."""
+def decode_qoa(data: bytes, use_native: bool | None = None):
+    """QOA bytes -> (int32[C, N] reconstructed samples, sample_rate, file_samples).
+
+    Native fast path: one fused C++ pass (frame walk + slice extraction +
+    LMS, native/flacbits.cpp::qoa_decode_full); the vectorized-numpy path
+    remains the fallback and parity oracle."""
     try:
         magic, file_samples = struct.unpack_from(">4sI", data, 0)
     except struct.error as e:
@@ -234,6 +238,13 @@ def decode_qoa(data: bytes):
         raise ValueError("Not a QOA file")
     file_channels = data[8]
     file_sample_rate = int.from_bytes(data[9:12], "big")
+    from ..native import flacbits as _nb
+
+    if use_native is None:
+        use_native = _nb.available() and file_channels >= 1
+    if use_native:
+        out = _nb.qoa_decode(data, 8, file_channels, file_sample_rate, file_samples)
+        return out, file_sample_rate, file_samples
     parsed = parse_qoa_bulk(data, 8, file_channels, file_sample_rate, file_samples)
     if parsed is None:
         return np.zeros((file_channels, 0), np.int32), file_sample_rate, file_samples

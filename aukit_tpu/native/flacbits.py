@@ -83,6 +83,12 @@ def _load():
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ]
         lib.flac_decode_free.argtypes = [ctypes.POINTER(_DecodeResult)]
+        lib.qoa_decode_full.restype = ctypes.POINTER(_QoaDecodeResult)
+        lib.qoa_decode_full.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
+        ]
+        lib.qoa_decode_free.argtypes = [ctypes.POINTER(_QoaDecodeResult)]
         lib.qoa_lms.restype = None
         lib.qoa_lms.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -91,6 +97,13 @@ def _load():
         ]
         _lib = lib
         return _lib
+
+
+class _QoaDecodeResult(ctypes.Structure):
+    _fields_ = [
+        ("samples", ctypes.POINTER(ctypes.c_int32)),
+        ("n", ctypes.c_int64),
+    ]
 
 
 class _DecodeResult(ctypes.Structure):
@@ -176,6 +189,23 @@ def parse_frames(data: bytes, pos: int, channels: int, depth: int, strict: bool 
         return frame_meta, sub, coefs, values
     finally:
         lib.flac_free(res)
+
+
+def qoa_decode(data: bytes, pos: int, channels: int, sample_rate: int,
+               file_samples: int) -> np.ndarray:
+    """Fused whole-stream QOA decode (frame walk + slices + LMS in one native
+    pass). Returns int32[C, N] reconstructed samples."""
+    lib = _load()
+    assert lib is not None
+    res = lib.qoa_decode_full(data, len(data), pos, channels, sample_rate, file_samples)
+    try:
+        r = res.contents
+        n = int(r.n)
+        if n == 0:
+            return np.zeros((channels, 0), np.int32)
+        return np.ctypeslib.as_array(r.samples, (channels * n,)).copy().reshape(channels, n)
+    finally:
+        lib.qoa_decode_free(res)
 
 
 def qoa_lms(dequantized: np.ndarray, history: np.ndarray, weights: np.ndarray):

@@ -622,6 +622,115 @@ void flac_restore_flat(int64_t* flat, const int64_t* offs, const int64_t* blocks
     }
 }
 
+// Fused whole-stream QOA decode: frame walk + slice extraction + dequant +
+// LMS reconstruction in one pass (the loader's fast path; semantics identical
+// to codecs/qoa.py::decode_qoa incl. the reference's lenient break conditions
+// aukit.lua:1732-1740 and int32-wraparound LMS predict).
+static const int32_t QOA_DEQUANT_TAB[16][8] = {
+    {1, -1, 3, -3, 5, -5, 7, -7},
+    {5, -5, 18, -18, 32, -32, 49, -49},
+    {16, -16, 53, -53, 95, -95, 147, -147},
+    {34, -34, 113, -113, 203, -203, 315, -315},
+    {63, -63, 210, -210, 378, -378, 588, -588},
+    {104, -104, 345, -345, 621, -621, 966, -966},
+    {158, -158, 528, -528, 950, -950, 1477, -1477},
+    {228, -228, 760, -760, 1368, -1368, 2128, -2128},
+    {316, -316, 1053, -1053, 1895, -1895, 2947, -2947},
+    {422, -422, 1405, -1405, 2529, -2529, 3934, -3934},
+    {548, -548, 1828, -1828, 3290, -3290, 5117, -5117},
+    {696, -696, 2320, -2320, 4176, -4176, 6496, -6496},
+    {868, -868, 2893, -2893, 5207, -5207, 8099, -8099},
+    {1064, -1064, 3548, -3548, 6386, -6386, 9933, -9933},
+    {1286, -1286, 4288, -4288, 7718, -7718, 12005, -12005},
+    {1536, -1536, 5120, -5120, 9216, -9216, 14336, -14336},
+};
+
+struct QoaDecodeResult {
+    int32_t* samples;  // planar [channels][n]
+    int64_t n;         // samples per channel
+};
+
+void qoa_decode_free(QoaDecodeResult* r) {
+    if (!r) return;
+    free(r->samples);
+    free(r);
+}
+
+static inline int16_t be16s(const uint8_t* p) {
+    return (int16_t)((p[0] << 8) | p[1]);
+}
+
+QoaDecodeResult* qoa_decode_full(const uint8_t* data, int64_t len, int64_t start_pos,
+                                 int32_t file_channels, int32_t file_rate,
+                                 int64_t file_samples) {
+    auto* res = (QoaDecodeResult*)calloc(1, sizeof(QoaDecodeResult));
+    std::vector<std::vector<int32_t>> out((size_t)file_channels);
+    if (file_samples > 0 && file_samples < (int64_t)1 << 32)
+        for (auto& ch : out) ch.reserve((size_t)file_samples);
+    int64_t pos = start_pos, sample_pos = 0;
+    int32_t h[8][4], w[8][4];
+    while (pos + 16 * file_channels + 8 <= len && sample_pos < file_samples) {
+        int channels = data[pos];
+        int64_t samplerate = ((int64_t)data[pos + 1] << 16) | (data[pos + 2] << 8) | data[pos + 3];
+        int64_t samples = (data[pos + 4] << 8) | data[pos + 5];
+        int64_t frame_size = (data[pos + 6] << 8) | data[pos + 7];
+        int64_t data_size = frame_size - 8 - 4 * 4 * channels;
+        int64_t num_slices = data_size / 8;
+        if (channels != file_channels || samplerate != file_rate ||
+            frame_size > len - pos - 8 || samples * channels > num_slices * 20 ||
+            channels > 8)
+            break;
+        int64_t p = pos + 8;
+        for (int c = 0; c < channels; c++) {
+            for (int k = 0; k < 4; k++) h[c][k] = be16s(data + p + 2 * k);
+            for (int k = 0; k < 4; k++) w[c][k] = be16s(data + p + 8 + 2 * k);
+            p += 16;
+        }
+        for (int64_t si = 0; si < samples; si += 20) {
+            int64_t emit = std::min<int64_t>(20, samples - si);
+            for (int c = 0; c < channels; c++) {
+                uint64_t slice;
+                memcpy(&slice, data + p, 8);
+                slice = __builtin_bswap64(slice);
+                p += 8;
+                int sf = (int)(slice >> 60);
+                const int32_t* dq_row = QOA_DEQUANT_TAB[sf];
+                int32_t* hc = h[c];
+                int32_t* wc = w[c];
+                auto& ch = out[(size_t)c];
+                for (int64_t j = 0; j < 20; j++) {
+                    int32_t dq = dq_row[(slice >> (57 - 3 * j)) & 7];
+                    uint32_t sum = (uint32_t)wc[0] * (uint32_t)hc[0] + (uint32_t)wc[1] * (uint32_t)hc[1] +
+                                   (uint32_t)wc[2] * (uint32_t)hc[2] + (uint32_t)wc[3] * (uint32_t)hc[3];
+                    int32_t pred = (int32_t)sum >> 13;
+                    int32_t rec = pred + dq;
+                    if (rec < -32768) rec = -32768;
+                    if (rec > 32767) rec = 32767;
+                    if (j < emit) ch.push_back(rec);
+                    int32_t delta = dq >> 4;
+                    wc[0] += hc[0] < 0 ? -delta : delta;
+                    wc[1] += hc[1] < 0 ? -delta : delta;
+                    wc[2] += hc[2] < 0 ? -delta : delta;
+                    wc[3] += hc[3] < 0 ? -delta : delta;
+                    hc[0] = hc[1]; hc[1] = hc[2]; hc[2] = hc[3]; hc[3] = rec;
+                }
+            }
+        }
+        sample_pos += samples;
+        pos += frame_size;
+    }
+    res->n = (int64_t)out[0].size();
+    res->samples = (int32_t*)malloc((size_t)file_channels * (size_t)res->n * sizeof(int32_t) + 1);
+    for (int c = 0; c < file_channels; c++) {
+        size_t m = out[(size_t)c].size();
+        memcpy(res->samples + (size_t)c * res->n, out[(size_t)c].data(),
+               std::min<size_t>(m, (size_t)res->n) * sizeof(int32_t));
+        for (size_t i = m; i < (size_t)res->n; i++)
+            res->samples[(size_t)c * res->n + i] = 0;
+    }
+    return res;
+}
+
 // QOA LMS reconstruction (host fast path; semantics identical to
 // codecs/qoa.py::qoa_lms_scan — int32 wraparound like the reference's bit32
 // coercion). dq/out: [lanes, T]; hist/wts: [lanes, 4] updated in place.

@@ -99,3 +99,20 @@ def test_native_speedup():
     flac_codec.parse_all_frames(data, pos, 1, 16, use_native=False)
     t_python = time.perf_counter() - t0
     assert t_native < t_python  # typically 50-500x
+
+
+def test_native_qoa_full_decode_matches_python():
+    """Fused C++ QOA decode vs the vectorized-numpy oracle, incl. a short
+    trailing frame and the 8-byte slack quirk."""
+    from aukit_tpu.codecs.qoa import decode_qoa
+
+    data = fixtures.qoa_stream(RNG, 2, 44100, [5120, 5120, 700]) + b"\x00" * 8
+    a, ra, ta = decode_qoa(data, use_native=True)
+    b, rb, tb = decode_qoa(data, use_native=False)
+    assert (ra, ta) == (rb, tb)
+    np.testing.assert_array_equal(a, b)
+    # exact-size stream (no slack): reference drops the final frame
+    data2 = fixtures.qoa_stream(RNG, 1, 48000, [5120, 2000])
+    a2 = decode_qoa(data2, use_native=True)[0]
+    b2 = decode_qoa(data2, use_native=False)[0]
+    np.testing.assert_array_equal(a2, b2)
