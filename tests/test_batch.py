@@ -400,3 +400,32 @@ def test_batch_encoder_roundtrips_through_decoder():
     rec = np.asarray(chunk_out).astype(np.float64)
     err = rec[:, 3000:] - sig[:, 3000:]
     assert np.sqrt((err ** 2).mean()) < 12.0  # codec noise after adaptation
+
+
+def test_batch_engine_argument_errors():
+    with pytest.raises(ValueError):
+        LaneSpec("opus", 48000)  # unknown codec
+    with pytest.raises(ValueError):
+        LaneSpec("ima", 8000, 1, block_align=2)  # block too small for header
+    with pytest.raises(ValueError):
+        LaneSpec("dfpwm", 48000, channels=2)  # dfpwm lanes are mono
+    with pytest.raises(ValueError):
+        BatchStreamEngine([])  # no lanes
+    with pytest.raises(ValueError):  # heterogeneous + chunk override
+        BatchStreamEngine([LaneSpec("dfpwm", 48000, chunk_bytes=600),
+                           LaneSpec("ulaw", 8000)])
+    import jax
+    from aukit_tpu.parallel.pipeline import make_mesh
+
+    if len(jax.devices()) >= 2:
+        with pytest.raises(ValueError):  # mesh requires homogeneous
+            BatchStreamEngine([LaneSpec("dfpwm", 48000), LaneSpec("ulaw", 8000)],
+                              mesh=make_mesh(2))
+    eng = BatchDfpwmDecoder(2, 48000, chunk_bytes=600)
+    eng.feed_array(np.zeros((2, 600), np.uint8), eof=False)
+    with pytest.raises(RuntimeError):  # bulk and per-lane feeds don't mix
+        eng.feed(0, b"\x00" * 10)
+    eng2 = BatchDfpwmDecoder(2, 48000, chunk_bytes=600)
+    eng2.feed(0, b"\x00" * 10)
+    with pytest.raises(RuntimeError):
+        eng2.feed_array(np.zeros((2, 600), np.uint8))
