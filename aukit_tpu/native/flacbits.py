@@ -89,6 +89,21 @@ def _load():
             ctypes.c_int32, ctypes.c_int64,
         ]
         lib.qoa_decode_free.argtypes = [ctypes.POINTER(_QoaDecodeResult)]
+        lib.pcm_frames.restype = ctypes.c_int64
+        lib.pcm_frames.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.chunk_dsp.restype = None
+        lib.chunk_dsp.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+        ]
         lib.qoa_lms.restype = None
         lib.qoa_lms.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -206,6 +221,58 @@ def qoa_decode(data: bytes, pos: int, channels: int, sample_rate: int,
         return np.ctypeslib.as_array(r.samples, (channels * n,)).copy().reshape(channels, n)
     finally:
         lib.qoa_decode_free(res)
+
+
+_PCM_TYPE = {"signed": 0, "unsigned": 1, "float": 2}
+
+
+def pcm_frames(raw: bytes, bit_depth: int, data_type: str, big_endian: bool,
+               channels: int, mono: bool) -> np.ndarray:
+    """One-pass unpack + normalize (+mono mean) -> float64[C_out, k].
+    Bit-identical to the staged unpack_pcm/normalize_pcm/mean pipeline."""
+    lib = _load()
+    assert lib is not None
+    bpf = (bit_depth // 8) * channels
+    k = len(raw) // bpf
+    c_out = 1 if (mono and channels > 1) else channels
+    out = np.empty((c_out, k), np.float64)
+    lib.pcm_frames(raw, len(raw), bit_depth, _PCM_TYPE[data_type],
+                   1 if big_endian else 0, channels,
+                   1 if (mono and channels > 1) else 0,
+                   out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def chunk_dsp(ext: np.ndarray, ffx: np.ndarray, frac: np.ndarray, exact: np.ndarray,
+              out_len: int, mode: str, interp_clamp, lowpass: bool, alpha: float,
+              filter_state: np.ndarray, zero_state_after: bool,
+              scale_int8: bool, floor_output: bool):
+    """Fused gather+lerp+FIR+scale for the 'none'/'linear' stream modes —
+    float64 ops in the numpy oracle's exact order. Returns
+    (out f64[C, out_len], new_filter_state f64[C])."""
+    lib = _load()
+    assert lib is not None
+    ext = np.ascontiguousarray(ext, np.float64)
+    C, n_ext = ext.shape
+    ffx = np.ascontiguousarray(ffx[:out_len], np.int64)
+    frac = np.ascontiguousarray(frac[:out_len], np.float64)
+    exact_u8 = np.ascontiguousarray(exact[:out_len], np.uint8)
+    fs = np.ascontiguousarray(filter_state, np.float64).copy()
+    out = np.empty((C, out_len), np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.chunk_dsp(
+        ext.ctypes.data_as(dp), C, n_ext,
+        ffx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        frac.ctypes.data_as(dp),
+        exact_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_len,
+        0 if mode == "none" else 1,
+        0 if interp_clamp is None else 1,
+        float(interp_clamp[0]) if interp_clamp else 0.0,
+        float(interp_clamp[1]) if interp_clamp else 0.0,
+        1 if lowpass else 0, float(alpha), fs.ctypes.data_as(dp),
+        1 if zero_state_after else 0, 1 if scale_int8 else 0,
+        1 if floor_output else 0, out.ctypes.data_as(dp))
+    return out, fs
 
 
 def qoa_lms(dequantized: np.ndarray, history: np.ndarray, weights: np.ndarray):

@@ -356,6 +356,24 @@ class ChunkResampler:
         n_ext = ext.shape[1]
         first_valid = hist - self.carry_valid
 
+        if self.mode in ("none", "linear"):
+            from ..native import flacbits as _nb
+
+            if _nb.available():
+                # fused native gather+lerp+FIR+scale (bit-identical f64 order)
+                out, new_fs = _nb.chunk_dsp(
+                    ext, ffx, frac, exact, out_len, self.mode, self.interp_clamp,
+                    self.lowpass, self.alpha, self.filter_state,
+                    CONFIG.compat_quirks, self.scale_int8, self.floor_output)
+                self.filter_state = new_fs
+                read = min(k, M)
+                self.carry = ext[:, read : hist + read].copy()
+                self.carry_valid = min(self.carry_valid + read, hist)
+                self.first = False
+                pos = self.out_count / self.out_rate
+                self.out_count += out_len
+                return out.astype(np.float32), pos
+
         if self.mode == "none":
             s = ext[:, np.clip(ffx, 0, n_ext - 1)]
         elif self.mode == "linear":

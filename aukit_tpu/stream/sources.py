@@ -126,6 +126,12 @@ class PcmFrameSource:
         else:
             raw = self._bytes.read(n * self.bytes_per_frame)
             usable = len(raw) - (len(raw) % self.bytes_per_frame)
+            from ..native import flacbits as _nb
+
+            if _nb.available():
+                # one-pass native unpack+normalize+mono (bit-identical)
+                return _nb.pcm_frames(raw[:usable], self.bit_depth, self.data_type,
+                                      self.big_endian, c, self.mono)
             vals = unpack_pcm(raw[:usable], self.bit_depth, self.data_type, self.big_endian)
         k = len(vals) // c
         norm = normalize_pcm(np.asarray(vals[: k * c]), self.bit_depth, self.data_type).astype(np.float64)

@@ -762,3 +762,101 @@ void qoa_lms(const int32_t* dq, int32_t* out, int32_t* hist, int32_t* wts,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// One-pass PCM frame reader for the single-stream chunk engine
+// (stream/sources.py::PcmFrameSource): unpack -> asymmetric normalize (with
+// the float32 round-trip the staged numpy path performs) -> optional mono
+// mean, planar f64 output. type: 0 signed, 1 unsigned, 2 float.
+// Returns the frame count written.
+int64_t pcm_frames(const uint8_t* raw, int64_t nbytes, int32_t depth, int32_t type,
+                   int32_t be, int32_t channels, int32_t mono, double* out) {
+    int bps = depth / 8;
+    int64_t k = nbytes / ((int64_t)bps * channels);
+    int64_t c_out = mono ? 1 : channels;
+    const double maxv = (double)((int64_t)1 << (depth - 1));
+    for (int64_t i = 0; i < k; i++) {
+        double acc = 0.0;
+        for (int c = 0; c < channels; c++) {
+            const uint8_t* p = raw + ((i * channels + c) * bps);
+            double x;
+            if (type == 2) {  // float32
+                uint32_t u = be ? ((uint32_t)p[0] << 24) | (p[1] << 16) | (p[2] << 8) | p[3]
+                               : ((uint32_t)p[3] << 24) | (p[2] << 16) | (p[1] << 8) | p[0];
+                float f;
+                memcpy(&f, &u, 4);
+                x = (double)f;
+            } else {
+                int64_t v = 0;
+                if (be) {
+                    for (int b = 0; b < bps; b++) v = (v << 8) | p[b];
+                } else {
+                    for (int b = bps - 1; b >= 0; b--) v = (v << 8) | p[b];
+                }
+                if (type == 0 && v >= ((int64_t)1 << (depth - 1))) v -= (int64_t)1 << depth;
+                double xf;
+                if (type == 0) {
+                    xf = (double)v / (v < 0 ? maxv : maxv - 1.0);
+                } else {  // unsigned: reference quirk Q1 — pivot/bias fixed at 128
+                    xf = ((double)v - 128.0) / (v < 128 ? maxv : maxv - 1.0);
+                }
+                x = (double)(float)xf;  // the staged path rounds through f32
+            }
+            if (mono) acc += x;
+            else out[(int64_t)c * k + i] = x;
+        }
+        if (mono) out[i] = acc / channels;
+    }
+    (void)c_out;
+    return k;
+}
+
+// Fused chunk DSP for the stream engine's "none"/"linear" interpolation
+// modes (stream/engine.py::ChunkResampler.process): gather + lerp + 2-tap
+// FIR + int8 scale in ONE pass, float64 ops in the numpy path's exact order
+// (bit-identical; cubic/sinc stay on the numpy oracle). mode: 0 none,
+// 1 linear. filter_state[C] is updated in place.
+void chunk_dsp(const double* ext, int64_t C, int64_t n_ext, const int64_t* ffx,
+               const double* frac, const uint8_t* exact, int64_t out_len,
+               int32_t mode, int32_t clamp, double clo, double chi,
+               int32_t lowpass, double alpha, double* filter_state,
+               int32_t zero_state_after, int32_t scale_int8, int32_t floor_out,
+               double* out) {
+    for (int64_t c = 0; c < C; c++) {
+        const double* e = ext + c * n_ext;
+        double* o = out + c * out_len;
+        double prev = filter_state[c];
+        double last_s = prev;
+        for (int64_t i = 0; i < out_len; i++) {
+            double s;
+            int64_t f = ffx[i];
+            if (mode == 0) {
+                int64_t fi = f < 0 ? 0 : (f > n_ext - 1 ? n_ext - 1 : f);
+                s = e[fi];
+            } else {
+                double p1 = e[f];
+                double p2 = e[f + 1 <= n_ext - 1 ? f + 1 : n_ext - 1];
+                if (exact[i]) {
+                    s = p1;
+                } else {
+                    s = p1 + (p2 - p1) * frac[i];
+                    if (clamp) s = s < clo ? clo : (s > chi ? chi : s);
+                }
+            }
+            double y = s;
+            if (lowpass) {
+                y = prev + alpha * (s - prev);
+                prev = s;
+                last_s = s;
+            }
+            if (scale_int8) y = y * (y < 0 ? 128.0 : 127.0);
+            if (floor_out) y = __builtin_floor(y);
+            if (scale_int8) y = y < -128.0 ? -128.0 : (y > 127.0 ? 127.0 : y);
+            o[i] = y;
+        }
+        if (lowpass) filter_state[c] = zero_state_after ? 0.0 : last_s;
+    }
+}
+
+}  // extern "C"

@@ -630,3 +630,47 @@ def test_stream_seek_points_resume_exactly():
     off_q, landing_q = sk.qoa_seek(data, 1.2)
     assert landing_q <= 1.2
     assert (off_q - 8) % (8 + 16 + 256 * 8) == 0  # frame-aligned
+
+
+def test_stream_pcm_native_dsp_bit_identical(monkeypatch):
+    """The fused C++ unpack/DSP paths must be BIT-identical to the numpy
+    oracle across dtypes, rates, channels, and chunk boundaries."""
+    from aukit_tpu.native import flacbits as nb
+
+    if not nb.available():
+        pytest.skip("native helpers unavailable")
+    cases = [
+        (8, "signed", 1, 48000, False),
+        (8, "unsigned", 2, 32000, False),
+        (16, "signed", 2, 44100, False),
+        (16, "signed", 2, 44100, True),
+        (16, "unsigned", 1, 12000, False),
+        (24, "signed", 2, 96000, True),
+        (32, "signed", 1, 48000, False),
+        (32, "float", 2, 22050, False),
+    ]
+    for depth, dtype, ch, rate, be in cases:
+        n = rate // 2 + 371
+        if dtype == "float":
+            raw = (RNG.random(n * ch).astype("f4") * 2 - 1).astype(">f4" if be else "<f4").tobytes()
+        else:
+            hi = 1 << depth
+            v = RNG.integers(0, hi, n * ch, dtype=np.int64)
+            if dtype == "signed":
+                v = v - (hi >> 1)
+            from aukit_tpu.ops.pcmcode import pack_pcm
+            raw = pack_pcm(v, depth, dtype, be)
+        for mode in ("none", "linear"):
+            import aukit_tpu.config as cfgmod
+
+            monkeypatch.setattr(cfgmod.CONFIG, "default_interpolation", mode)
+            it_n, _ = ak.stream.pcm(raw, depth, dtype, ch, rate, be, True)
+            got_n = [c for c, _ in collect(it_n)]
+            monkeypatch.setattr(nb, "available", lambda: False)
+            it_p, _ = ak.stream.pcm(raw, depth, dtype, ch, rate, be, True)
+            got_p = [c for c, _ in collect(it_p)]
+            monkeypatch.undo()
+            monkeypatch.setattr(cfgmod.CONFIG, "default_interpolation", mode)
+            assert len(got_n) == len(got_p), (depth, dtype, mode)
+            for a, b in zip(got_n, got_p):
+                np.testing.assert_array_equal(a, b, err_msg=f"{depth}/{dtype}/{mode}")
