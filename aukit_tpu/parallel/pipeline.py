@@ -45,10 +45,13 @@ def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000, fir
     ``fir_state``: optional float[...] previous raw sample carried across
     chunks; when given, returns (out, new_fir_state)."""
     n_in = samples_f32.shape[-1]
-    n_out, ffx, frac = _resample_tables(n_in, in_rate, out_rate)
-    p1 = jnp.take(samples_f32, jnp.asarray(ffx), axis=-1)
-    p2 = jnp.take(samples_f32, jnp.asarray(np.minimum(ffx + 1, n_in - 1)), axis=-1)
-    s = p1 + (p2 - p1) * jnp.asarray(frac)
+    if in_rate == out_rate:
+        s = samples_f32  # identity: p1 + (p2-p1)*0 == p1 bit-for-bit
+    else:
+        n_out, ffx, frac = _resample_tables(n_in, in_rate, out_rate)
+        p1 = jnp.take(samples_f32, jnp.asarray(ffx), axis=-1)
+        p2 = jnp.take(samples_f32, jnp.asarray(np.minimum(ffx + 1, n_in - 1)), axis=-1)
+        s = p1 + (p2 - p1) * jnp.asarray(frac)
     alpha = jnp.float32(1.0 - np.exp(-(in_rate / (out_rate * 2)) * 2.0 * np.pi))
     first = jnp.zeros_like(s[..., :1]) if fir_state is None else fir_state[..., None]
     prev = jnp.concatenate([first, s[..., :-1]], axis=-1)
