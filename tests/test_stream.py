@@ -674,3 +674,23 @@ def test_stream_pcm_native_dsp_bit_identical(monkeypatch):
             assert len(got_n) == len(got_p), (depth, dtype, mode)
             for a, b in zip(got_n, got_p):
                 np.testing.assert_array_equal(a, b, err_msg=f"{depth}/{dtype}/{mode}")
+
+
+def test_stream_pcm_native_dsp_q9_compat(monkeypatch):
+    """CONFIG.compat_quirks (Q9 per-chunk lowpass reseed) must behave
+    identically on the native and numpy DSP paths."""
+    from aukit_tpu.native import flacbits as nb
+    import aukit_tpu.config as cfgmod
+
+    if not nb.available():
+        pytest.skip("native helpers unavailable")
+    raw = RNG.integers(0, 256, 44100 * 2, dtype=np.uint8).tobytes()
+    monkeypatch.setattr(cfgmod.CONFIG, "compat_quirks", True)
+    it_n, _ = ak.stream.pcm(raw, 8, "signed", 1, 44100, False, False)
+    got_n = [c for c, _ in collect(it_n)]
+    monkeypatch.setattr(nb, "available", lambda: False)
+    it_p, _ = ak.stream.pcm(raw, 8, "signed", 1, 44100, False, False)
+    got_p = [c for c, _ in collect(it_p)]
+    assert len(got_n) == len(got_p) >= 2
+    for a, b in zip(got_n, got_p):
+        np.testing.assert_array_equal(a, b)
