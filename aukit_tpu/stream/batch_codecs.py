@@ -56,6 +56,46 @@ class LaneSpec:
             raise ValueError(f"{self.codec} batch lanes support 1-2 channels")
 
 
+def lane_spec_for_wav(data: bytes) -> tuple[LaneSpec, int, int]:
+    """Map a WAV header to an engine lane: (spec, data_offset, data_size).
+
+    Feed ``data[data_offset : data_offset + data_size]`` to the lane — the
+    container-to-engine bridge so a fleet of WAV files (PCM 8/16, G.711,
+    IMA/MS ADPCM, DFPWM-in-WAV) batches without manual specs (reference
+    dispatch surface aukit.lua:2992-2996)."""
+    import struct
+
+    from ..containers.wav import parse_fmt
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("invalid WAV file")
+    pos = 12
+    fmt = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        pos += 8
+        if cid == b"fmt ":
+            fmt = parse_fmt(data[pos : pos + size])
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("invalid WAV file")
+            data_type, channels, rate, block_align, bit_depth, _co = fmt
+            codec = {
+                "signed": "pcm16" if bit_depth == 16 else None,
+                "unsigned": "pcm8" if bit_depth == 8 else None,
+                "alaw": "alaw", "ulaw": "ulaw",
+                "adpcm": "ima", "msadpcm": "msadpcm", "dfpwm": "dfpwm",
+            }.get(data_type)
+            if codec is None:
+                raise ValueError(f"no engine lane mapping for WAV {data_type}/{bit_depth}")
+            spec = LaneSpec(codec, rate, 1 if codec == "dfpwm" else channels,
+                            block_align=block_align if codec in ("ima", "msadpcm") else 0)
+            return spec, pos, size
+        pos += size + (size % 2)
+    raise ValueError("invalid WAV file")
+
+
 def geometry(spec: LaneSpec) -> tuple[int, int]:
     """(in_bytes, in_samples) consumed/decoded per lane per step."""
     r, ch, ba = spec.sample_rate, spec.channels, spec.block_align

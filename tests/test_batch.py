@@ -429,3 +429,27 @@ def test_batch_engine_argument_errors():
     eng2.feed(0, b"\x00" * 10)
     with pytest.raises(RuntimeError):
         eng2.feed_array(np.zeros((2, 600), np.uint8))
+
+
+def test_lane_spec_for_wav_bridge():
+    """WAV files map straight to engine lanes: a PCM16 + an IMA WAV decode
+    through one engine identically to their raw-payload solo runs."""
+    from aukit_tpu.stream.batch_codecs import lane_spec_for_wav
+
+    sig = (np.sin(np.arange(44100) / 8.0) * 15000).astype(np.int64)
+    wav_pcm = fixtures.wav_pcm(sig[None, :], 44100, 16)
+    ima_payload = fixtures.ima_wav_blocks(RNG, 16, 256, 1)
+    wav_ima = fixtures.wav_ima(ima_payload, 8000, 1, 256)
+
+    specs, feeds = [], []
+    for w in (wav_pcm, wav_ima):
+        spec, off, size = lane_spec_for_wav(w)
+        specs.append(spec)
+        feeds.append(w[off : off + size])
+    assert specs[0] == LaneSpec("pcm16", 44100, 1)
+    assert specs[1] == LaneSpec("ima", 8000, 1, block_align=256)
+    outs, _ = run_engine(specs, feeds)
+    solo0 = run_engine([specs[0]], [feeds[0]])[0][0]
+    solo1 = run_engine([specs[1]], [feeds[1]])[0][0]
+    np.testing.assert_array_equal(outs[0][: len(solo0)], solo0[: len(outs[0])])
+    np.testing.assert_array_equal(outs[1][: len(solo1)], solo1[: len(outs[1])])
