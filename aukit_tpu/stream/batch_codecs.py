@@ -26,7 +26,7 @@ from ..codecs.adpcm import MSADPCM_DEFAULT_COEFFS, ima_adpcm_scan, msadpcm_scan
 from ..codecs.dfpwm import DfpwmState, dfpwm_decode
 from ..codecs.qoa import QOA_DEQUANT, qoa_lms_scan
 
-CODECS = ("dfpwm", "pcm8", "pcm16", "ulaw", "alaw", "ima", "msadpcm", "qoa")
+CODECS = ("dfpwm", "pcm8", "pcm16", "pcm16be", "ulaw", "alaw", "ima", "msadpcm", "qoa")
 
 QOA_SLICES_PER_FRAME = 256
 QOA_SAMPLES_PER_FRAME = QOA_SLICES_PER_FRAME * 20  # 5120
@@ -96,6 +96,60 @@ def lane_spec_for_wav(data: bytes) -> tuple[LaneSpec, int, int]:
     raise ValueError("invalid WAV file")
 
 
+def lane_spec_for_aiff(data: bytes) -> tuple[LaneSpec, int, int]:
+    """AIFF/AIFC header -> (spec, data_offset, data_size). Compressions:
+    NONE (BE PCM16), sowt (LE), alaw/ulaw (aukit.lua:1576-1634)."""
+    import struct
+
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise ValueError("not an AIFF file")
+    is_aifc = data[8:12] == b"AIFC"
+    pos = 12
+    meta = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack_from(">I", data, pos + 4)
+        pos += 8
+        if cid == b"COMM":
+            from ..containers.aiff import parse_comm_rate
+
+            channels, _frames, depth, e = struct.unpack_from(">hIhH", data, pos)
+            m = int.from_bytes(data[pos + 10 : pos + 17], "big")
+            comp = data[pos + 18 : pos + 22].decode("latin-1") if is_aifc else "NONE"
+            rate = int(parse_comm_rate(e, m))
+            meta = (channels, depth, rate, comp)
+        elif cid == b"SSND":
+            if meta is None:
+                raise ValueError("invalid AIFF file")
+            channels, depth, rate, comp = meta
+            offset, _align = struct.unpack_from(">II", data, pos)
+            codec = {"NONE": "pcm16be" if depth == 16 else None,
+                     "sowt": "pcm16" if depth == 16 else None,
+                     "alaw": "alaw", "ALAW": "alaw",
+                     "ulaw": "ulaw", "ULAW": "ulaw"}.get(comp)
+            if codec is None:
+                raise ValueError(f"no engine lane mapping for AIFF {comp}/{depth}")
+            return (LaneSpec(codec, rate, channels), pos + 8 + offset, size - 8 - offset)
+        pos += size + (size % 2)
+    raise ValueError("invalid AIFF file")
+
+
+def lane_spec_for_au(data: bytes) -> tuple[LaneSpec, int, int]:
+    """AU header -> (spec, data_offset, data_size); encodings 1 µ-law,
+    3 PCM16 BE, 27 A-law (aukit.lua:1636-1651, incl. the 1-based offset
+    quirk Q20)."""
+    from ..containers.au import parse_au_header
+
+    offset, size, encoding, rate, channels = parse_au_header(bytes(data))
+    codec = {1: "ulaw", 3: "pcm16be", 27: "alaw"}.get(encoding)
+    if codec is None:
+        raise ValueError(f"no engine lane mapping for AU encoding {encoding}")
+    start = offset - 1  # reference 1-based offset quirk
+    if size == 0xFFFFFFFF:
+        size = len(data) - start
+    return LaneSpec(codec, rate, channels), start, size
+
+
 def geometry(spec: LaneSpec) -> tuple[int, int]:
     """(in_bytes, in_samples) consumed/decoded per lane per step."""
     r, ch, ba = spec.sample_rate, spec.channels, spec.block_align
@@ -105,7 +159,7 @@ def geometry(spec: LaneSpec) -> tuple[int, int]:
     if spec.codec in ("pcm8", "ulaw", "alaw"):
         n = spec.chunk_bytes or r * ch
         return n, n // ch
-    if spec.codec == "pcm16":
+    if spec.codec in ("pcm16", "pcm16be"):
         n = spec.chunk_bytes or 2 * r * ch
         return n, n // (2 * ch)
     if spec.codec == "ima":
@@ -157,7 +211,10 @@ def _decode_pcm8(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _decode_pcm16(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
-    v = _le16(b[:, 0::2], b[:, 1::2])
+    if spec.codec == "pcm16be":
+        v = _be16(b[:, 0::2], b[:, 1::2])
+    else:
+        v = _le16(b[:, 0::2], b[:, 1::2])
     L = v.shape[0]
     f = _norm16(v).reshape(L, -1, spec.channels)
     return _mono(jnp.moveaxis(f, -1, -2))
@@ -323,6 +380,7 @@ def build_decoder(spec: LaneSpec, use_pallas: bool):
     decoders = {
         "pcm8": _decode_pcm8,
         "pcm16": _decode_pcm16,
+        "pcm16be": _decode_pcm16,
         "ulaw": _decode_g711,
         "alaw": _decode_g711,
     }

@@ -453,3 +453,32 @@ def test_lane_spec_for_wav_bridge():
     solo1 = run_engine([specs[1]], [feeds[1]])[0][0]
     np.testing.assert_array_equal(outs[0][: len(solo0)], solo0[: len(outs[0])])
     np.testing.assert_array_equal(outs[1][: len(solo1)], solo1[: len(outs[1])])
+
+
+def test_lane_spec_for_aiff_and_au_bridge():
+    """AIFF (BE PCM16) and AU (u-law) files map to engine lanes; pcm16be lanes
+    decode identically to the LE path on byte-swapped input."""
+    from aukit_tpu.stream.batch_codecs import lane_spec_for_aiff, lane_spec_for_au
+
+    sig = (np.sin(np.arange(24000) / 6.0) * 9000).astype(np.int64)
+    payload_be = sig.astype(">i2").tobytes()
+    f_aiff = fixtures.aiff_file(payload_be, 1, 24000, 16)
+    spec_a, off_a, size_a = lane_spec_for_aiff(f_aiff)
+    assert spec_a == LaneSpec("pcm16be", 24000, 1)
+
+    ulaw = RNG.integers(0, 256, 8000, dtype=np.uint8).tobytes()  # one chunk:
+    # the engine resamples per 1 s chunk (edge clamp at chunk borders)
+    f_au = fixtures.au_file(ulaw, 1, 8000, 1)
+    spec_u, off_u, size_u = lane_spec_for_au(f_au)
+    assert spec_u == LaneSpec("ulaw", 8000, 1)
+
+    outs, _ = run_engine([spec_a, spec_u],
+                         [f_aiff[off_a : off_a + size_a], f_au[off_u : off_u + size_u]])
+    # pcm16be == pcm16 on byte-swapped payload
+    solo_le = run_engine([LaneSpec("pcm16", 24000, 1)], [sig.astype("<i2").tobytes()])[0][0]
+    n = min(len(solo_le), len(outs[0]))
+    np.testing.assert_array_equal(outs[0][:n], solo_le[:n])
+    # ulaw lane == direct g711 reference through the dsp
+    g = refc.g711_ref(ulaw, True, 1)[0]
+    exp, _ = dsp_ref(g.astype(np.float32), 8000)
+    np.testing.assert_allclose(outs[1][: len(exp)], exp, atol=1)
