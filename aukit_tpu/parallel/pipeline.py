@@ -43,7 +43,14 @@ def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000, fir
     FIR smoothing (alpha per aukit.lua:2365) + int8 scale/clamp.
 
     ``fir_state``: optional float[...] previous raw sample carried across
-    chunks; when given, returns (out, new_fir_state)."""
+    chunks; when given, returns (out, new_fir_state).
+
+    Boundary semantics: the FIR state carries across chunks, but the linear
+    interpolation window clamps at each chunk's last input sample (p2 edge
+    clamp) instead of deferring boundary outputs to the next chunk the way
+    the single-stream ChunkResampler does — a deliberate fixed-shape
+    simplification (affects ~ratio samples per chunk by < 1 interpolation
+    step; exact for identity rates)."""
     n_in = samples_f32.shape[-1]
     if in_rate == out_rate:
         s = samples_f32  # identity: p1 + (p2-p1)*0 == p1 bit-for-bit
