@@ -25,7 +25,6 @@ same code path scales to real multi-host TPU slices.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..codecs.dfpwm import DfpwmState

@@ -115,7 +115,6 @@ def sharded_pipeline_step(mesh: jax.sharding.Mesh, lanes: int, nbytes: int, in_r
     local, peak-normalize as the cross-chip collective. Returns (fn, args)."""
     P = jax.sharding.PartitionSpec
     lane_sharding = jax.sharding.NamedSharding(mesh, P(("dp", "sp"), None))
-    replicated = jax.sharding.NamedSharding(mesh, P())
 
     def step(bytes_u8, charge, strength, prev_bit, prev_charge, lowpass):
         state = DfpwmState(charge, strength, prev_bit, prev_charge, lowpass)
