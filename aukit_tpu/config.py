@@ -32,12 +32,13 @@ class Config:
     # When False (default) the fixed semantics are used; parity tests flip this.
     compat_quirks: bool = False
 
-    # Minimum batch size (subframes x max block) at which FLAC LPC restore
-    # routes to the Pallas kernel on TPU (kernels/flac_pallas.py; exact for
-    # depth <= 24). Default OFF: the loader's data is host-resident and this
-    # environment reaches its TPU through a ~3 MB/s tunnel, so the two bulk
-    # transfers lose to the C++ restore at any size. Hosts with locally
-    # attached chips should set ~1<<22.
+    # Minimum batch size (subframes x max block) at which the STAGED FLAC
+    # path (incremental streams / non-native fallback) routes LPC restore to
+    # the Pallas kernel on TPU (kernels/flac_pallas.py; exact for depth <= 24).
+    # Default OFF: whole-file loads use the fused native decoder anyway, and
+    # host-resident data through this environment's ~3 MB/s remote-TPU tunnel
+    # loses to C++ at any size. Hosts with locally attached chips should set
+    # ~1<<22 to offload large streamed restores.
     flac_device_restore_min: int = 1 << 62
 
 

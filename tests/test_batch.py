@@ -482,3 +482,13 @@ def test_lane_spec_for_aiff_and_au_bridge():
     g = refc.g711_ref(ulaw, True, 1)[0]
     exp, _ = dsp_ref(g.astype(np.float32), 8000)
     np.testing.assert_allclose(outs[1][: len(exp)], exp, atol=1)
+
+
+def test_batch_qoa_stereo_mixdown():
+    rate = 10240
+    data = fixtures.qoa_stream(RNG, 2, rate, [5120, 5120]) + b"\x00" * 8
+    ref = refc.qoa_ref(data)[0]  # [2, N]
+    mono = (norm16f(ref[0]) + norm16f(ref[1])) / 2
+    exp, _ = dsp_ref(mono, rate)
+    outs, _ = run_engine([LaneSpec("qoa", rate, 2)], [data[8:]])
+    np.testing.assert_allclose(outs[0][: len(exp)], exp, atol=1)
