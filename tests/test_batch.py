@@ -492,3 +492,26 @@ def test_batch_qoa_stereo_mixdown():
     exp, _ = dsp_ref(mono, rate)
     outs, _ = run_engine([LaneSpec("qoa", rate, 2)], [data[8:]])
     np.testing.assert_allclose(outs[0][: len(exp)], exp, atol=1)
+
+
+def test_batch_bulk_multi_segment_eof_partial():
+    """Bulk mode: several small segments + a partial EOF tail drain exactly,
+    matching per-lane feeding bit-for-bit."""
+    L, chunk = 2, 600
+    full = RNG.integers(0, 256, (L, 1450), dtype=np.uint8)  # 2 chunks + 250 tail
+    eng = BatchDfpwmDecoder(L, 48000, chunk_bytes=chunk)
+    eng.feed_array(full[:, :400], eof=False)
+    eng.feed_array(full[:, 400:900], eof=False)
+    eng.feed_array(full[:, 900:], eof=True)
+    ref = BatchDfpwmDecoder(L, 48000, chunk_bytes=chunk)
+    for i in range(L):
+        ref.feed(i, full[i].tobytes())
+        ref.feed(i, None)
+    while True:
+        ra, rb = eng.step(), ref.step()
+        assert (ra is None) == (rb is None)
+        if ra is None:
+            break
+        np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rb[0]))
+        np.testing.assert_array_equal(ra[1], rb[1])
+    assert eng.done and ref.done
