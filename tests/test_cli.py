@@ -184,3 +184,83 @@ def test_tcp_listen_broadcast_fan_in():
         t.join()
     assert len(got) == 2 * half  # both feeders delivered, the mismatched one dropped
     assert sorted(got) == sorted(sig.tobytes())  # same bytes, arrival-order interleave
+
+
+def test_austream_plays_from_two_tcp_feeders(tmp_path):
+    """Full austream pipeline fed by the broadcast listen source: two
+    simultaneous feeders deliver one PCM stream; -o output equals the direct
+    stream.pcm decode (VERDICT r1 item 9 done-criterion)."""
+    import socket
+    import threading
+    import time as _t
+
+    import numpy as np
+
+    from aukit_tpu.cli import austream
+
+    rng = np.random.default_rng(11)
+    half = 24000
+    payload = rng.integers(0, 256, 2 * half, dtype=np.uint8).tobytes()
+    out_file = tmp_path / "out.pcm"
+
+    # grab the bound port: patch _tcp_listen_source through open_source
+    bound = {}
+    orig = austream._tcp_listen_source
+
+    def wrapped(port, proto):
+        fn, p = orig(port, proto)
+        bound["port"] = p
+        return fn, p
+
+    austream._tcp_listen_source = wrapped
+    try:
+        t = threading.Thread(
+            target=austream.main,
+            args=([f"tcp://listen:0?proto=radio",
+                   "type=pcm,bitDepth=8,dataType=signed,sampleRate=48000",
+                   "-o", str(out_file)],),
+            daemon=True,
+        )
+        t.start()
+        for _ in range(100):
+            if "port" in bound:
+                break
+            _t.sleep(0.05)
+        assert "port" in bound
+
+        barrier = threading.Barrier(2)
+
+        def feed(chunk, delay):
+            s = socket.create_connection(("127.0.0.1", bound["port"]))
+            _t.sleep(delay)
+            s.sendall(b"radio\n")
+            s.sendall(chunk)
+            try:
+                barrier.wait(timeout=10)
+            except threading.BrokenBarrierError:
+                pass
+            _t.sleep(0.05)
+            s.close()
+
+        # feeder order enforced by delays so the byte stream is deterministic
+        f1 = threading.Thread(target=feed, args=(payload[:half], 0.0))
+        f1.start()
+        f1.join(timeout=5)  # first half fully sent and feeder closed? no — barrier
+        f2 = threading.Thread(target=feed, args=(payload[half:], 0.2))
+        f2.start()
+        t.join(timeout=60)
+        f1.join(timeout=5)
+        f2.join(timeout=5)
+        assert not t.is_alive()
+    finally:
+        austream._tcp_listen_source = orig
+
+    got = np.fromfile(out_file, dtype=np.int8)
+    # faithful check: austream(two tcp feeders) output == austream(file) output
+    f = tmp_path / "in.pcm"
+    f.write_bytes(payload)
+    out2 = tmp_path / "out2.pcm"
+    austream.main([str(f), "type=pcm,bitDepth=8,dataType=signed,sampleRate=48000",
+                   "-o", str(out2)])
+    exp_bytes = np.fromfile(out2, dtype=np.int8)
+    np.testing.assert_array_equal(got, exp_bytes)
