@@ -120,7 +120,7 @@ class _GroupIO:
     def __init__(self, lanes: int, n: int):
         self.lanes, self.n = lanes, n
         self.mode: str | None = None
-        self.segs: collections.deque[np.ndarray] = collections.deque()
+        self.segs: collections.deque = collections.deque()  # np or jax [L, W] segments
         self.seg_off = 0  # consumed columns of segs[0]
         self.bufs: list[bytearray] | None = None
         self.eof = np.zeros(lanes, bool)
