@@ -508,7 +508,13 @@ class BatchStreamEngine:
         windows = []
         for g in self.groups:
             positions[g.slots] = g.samples_out / out_rate
-            got, had_real = g.fifo_pop(out_rate)
+            if g.fill >= out_rate or (g.io.exhausted and g.fill > 0):
+                got, had_real = g.fifo_pop(out_rate)
+            else:
+                # starved (not exhausted): hold the partial FIFO — popping it
+                # now would zero-pad silence INTO the lane's timeline
+                got = jnp.zeros((g.lanes, out_rate), jnp.int8)
+                had_real = np.zeros(g.lanes, bool)
             windows.append(got)
             mask[g.slots] = had_real
         if not mask.any():

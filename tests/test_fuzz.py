@@ -135,3 +135,55 @@ def test_batch_lane_poisoning_isolated():
     prev = np.concatenate([[0.0], s[:-1]])
     exp = np.clip((prev + a * (s - prev)) * np.where((prev + a * (s - prev)) < 0, 128.0, 127.0), -128, 127)
     np.testing.assert_array_equal(lane0, exp.astype(np.int8))
+
+
+def test_batch_engine_feed_schedule_invariance():
+    """Heterogeneous engine fuzz: random feed schedules (cut points, starved
+    steps, interleavings) must never change any lane's concatenated output —
+    masking/FIFO bookkeeping is schedule-invariant."""
+    from aukit_tpu.stream.batch import BatchStreamEngine, LaneSpec
+
+    specs = [LaneSpec("dfpwm", 48000), LaneSpec("pcm16", 24000),
+             LaneSpec("ima", 8000, 1, block_align=256)]
+    streams = [
+        bytes(RNG.integers(0, 256, 6000 * 2, dtype=np.uint8)),
+        (RNG.integers(-20000, 20000, 24000 * 2)).astype("<i2").tobytes(),
+        bytes(RNG.integers(0, 256, 256 * 32, dtype=np.uint8)),
+    ]
+
+    def run(schedule_rng=None):
+        eng = BatchStreamEngine(specs)
+        cursors = [0, 0, 0]
+        outs = [[] for _ in specs]
+        if schedule_rng is None:  # one-shot reference feed
+            for i, s in enumerate(streams):
+                eng.feed(i, s)
+                eng.feed(i, None)
+        idle = 0
+        while idle < 50:
+            if schedule_rng is not None:
+                for i, s in enumerate(streams):
+                    if cursors[i] < len(s) and schedule_rng.random() < 0.7:
+                        n = int(schedule_rng.integers(1, len(s) // 2 + 2))
+                        eng.feed(i, s[cursors[i] : cursors[i] + n])
+                        cursors[i] += n
+                        if cursors[i] >= len(s):
+                            eng.feed(i, None)
+            r = eng.step()
+            if r is None:
+                if schedule_rng is None or all(c >= len(s) for c, s in zip(cursors, streams)):
+                    break
+                idle += 1
+                continue
+            chunk, mask, _ = r
+            arr = np.asarray(chunk)
+            for i in range(len(specs)):
+                if mask[i]:
+                    outs[i].append(arr[i])
+        return [np.concatenate(o) if o else np.zeros(0, np.int8) for o in outs]
+
+    ref = run(None)
+    for seed in (1, 2, 3):
+        got = run(np.random.default_rng(seed))
+        for i in range(len(specs)):
+            np.testing.assert_array_equal(got[i], ref[i], err_msg=f"lane {i} seed {seed}")
