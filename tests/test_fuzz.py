@@ -187,3 +187,42 @@ def test_batch_engine_feed_schedule_invariance():
         got = run(np.random.default_rng(seed))
         for i in range(len(specs)):
             np.testing.assert_array_equal(got[i], ref[i], err_msg=f"lane {i} seed {seed}")
+
+
+def test_batch_engine_homogeneous_schedule_invariance():
+    """Same invariance property for the homogeneous (direct-device) path."""
+    from aukit_tpu.stream.batch import BatchDfpwmDecoder
+
+    stream = bytes(RNG.integers(0, 256, 6000 * 3 + 1234, dtype=np.uint8))
+
+    def run(schedule_rng=None):
+        eng = BatchDfpwmDecoder(1, 48000, chunk_bytes=6000)
+        cur = 0
+        outs = []
+        if schedule_rng is None:
+            eng.feed(0, stream)
+            eng.feed(0, None)
+        idle = 0
+        while idle < 50:
+            if schedule_rng is not None and cur < len(stream):
+                if schedule_rng.random() < 0.6:
+                    n = int(schedule_rng.integers(1, 9000))
+                    eng.feed(0, stream[cur : cur + n])
+                    cur += n
+                    if cur >= len(stream):
+                        eng.feed(0, None)
+            r = eng.step()
+            if r is None:
+                if schedule_rng is None or cur >= len(stream):
+                    break
+                idle += 1
+                continue
+            chunk, mask, _ = r
+            if mask[0]:
+                outs.append(np.asarray(chunk[0]))
+        return np.concatenate(outs) if outs else np.zeros(0, np.int8)
+
+    ref = run(None)
+    for seed in (4, 5, 6):
+        np.testing.assert_array_equal(run(np.random.default_rng(seed)), ref,
+                                      err_msg=f"seed {seed}")
