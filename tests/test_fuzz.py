@@ -226,3 +226,36 @@ def test_batch_engine_homogeneous_schedule_invariance():
     for seed in (4, 5, 6):
         np.testing.assert_array_equal(run(np.random.default_rng(seed)), ref,
                                       err_msg=f"seed {seed}")
+
+
+def test_incremental_stream_drip_size_invariance():
+    """stream.flac / stream.qoa outputs must not depend on source chunking."""
+    from tests import fixtures
+
+    n = 2048
+    vals = RNG.integers(-(1 << 13), 1 << 13, n).tolist()
+    frame = fixtures.flac_frame([{"type": "verbatim", "values": vals}], n, 0, 16)
+    flac_data = fixtures.flac_stream_header(48000, 1, 16, 8 * n) + frame * 8
+    qoa_data = fixtures.qoa_stream(RNG, 1, 10240, [5120] * 4) + b"\x00" * 8
+
+    def collect_all(fn, data_or_src):
+        it, _ = fn(data_or_src)
+        return np.concatenate([c for c, _ in it], axis=1)
+
+    for fn, data in ((ak.stream.flac, flac_data), (ak.stream.qoa, qoa_data)):
+        ref = collect_all(fn, data)
+        for seed in (7, 8):
+            rng = np.random.default_rng(seed)
+            pos = 0
+
+            def drip():
+                nonlocal pos
+                if pos >= len(data):
+                    return None
+                n_take = int(rng.integers(1, 5000))
+                out = data[pos : pos + n_take]
+                pos += len(out)
+                return out
+
+            got = collect_all(fn, drip)
+            np.testing.assert_array_equal(got, ref, err_msg=f"{fn.__name__} seed {seed}")
