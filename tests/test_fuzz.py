@@ -259,3 +259,33 @@ def test_incremental_stream_drip_size_invariance():
 
             got = collect_all(fn, drip)
             np.testing.assert_array_equal(got, ref, err_msg=f"{fn.__name__} seed {seed}")
+
+
+def test_batch_checkpoint_restore_at_random_points():
+    """Checkpoint a lane after k chunks, restore into a fresh engine with the
+    remaining bytes: continuation must be bit-identical for any k."""
+    from aukit_tpu.stream.batch import BatchDfpwmDecoder
+
+    stream = bytes(RNG.integers(0, 256, 600 * 7, dtype=np.uint8))
+    ref = BatchDfpwmDecoder(1, 48000, chunk_bytes=600)
+    ref.feed(0, stream)
+    ref.feed(0, None)
+    ref_chunks = []
+    while (r := ref.step()) is not None:
+        ref_chunks.append(np.asarray(r[0][0]))
+
+    for k in (1, 3, 6):
+        eng = BatchDfpwmDecoder(1, 48000, chunk_bytes=600)
+        eng.feed(0, stream)
+        eng.feed(0, None)
+        for _ in range(k):
+            eng.step()
+        ckpt = eng.checkpoint(0)
+        eng2 = BatchDfpwmDecoder(1, 48000, chunk_bytes=600)
+        eng2.restore(0, {**ckpt, "pending": stream[ckpt["byte_offset"]:], "eof": True})
+        got = []
+        while (r := eng2.step()) is not None:
+            got.append(np.asarray(r[0][0]))
+        np.testing.assert_array_equal(np.concatenate(got),
+                                      np.concatenate(ref_chunks[k:]),
+                                      err_msg=f"k={k}")
