@@ -289,3 +289,23 @@ def test_batch_checkpoint_restore_at_random_points():
         np.testing.assert_array_equal(np.concatenate(got),
                                       np.concatenate(ref_chunks[k:]),
                                       err_msg=f"k={k}")
+
+
+def test_auconvert_map_language_fuzz():
+    """Random map-language strings must either parse or reject with a
+    controlled error (SystemExit/ValueError), never crash with internals."""
+    import random
+
+    from aukit_tpu.cli.auconvert import parse_map
+
+    alphabet = "0123456789+&*[],()=. "
+    rng = random.Random(31337)
+    for _ in range(300):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 24)))
+        try:
+            parse_map(s)
+        except (SystemExit, ValueError, IndexError, KeyError):
+            pass  # controlled rejection
+    # a few valid maps must round-trip through the parser without error
+    for good in ("1=1", "1+2=1", "1:2=2:1", "(1+2)*3=1", "1+2&3=1"):
+        parse_map(good)
