@@ -694,3 +694,27 @@ def test_stream_pcm_native_dsp_q9_compat(monkeypatch):
     assert len(got_n) == len(got_p) >= 2
     for a, b in zip(got_n, got_p):
         np.testing.assert_array_equal(a, b)
+
+
+def test_chunk_resampler_device_state_roundtrip():
+    """get_state/set_state must serialize device-resident carry/filter state
+    (SURVEY §5.4) and resume identically on either backend."""
+    import jax.numpy as jnp
+    from aukit_tpu.stream.engine import ChunkResampler
+
+    sig = np.sin(np.arange(44100 * 2) / 9.0)[None, :] * 0.5
+    dev = ChunkResampler(44100, 1, mode="linear")
+    pos = 0
+    for _ in range(1):
+        need = dev.samples_needed
+        dev.process(jnp.asarray(sig[:, pos : pos + need], jnp.float32))
+        pos += need
+    state = dev.get_state()
+    assert isinstance(state["carry"], np.ndarray)  # serializable numpy
+
+    resumed = ChunkResampler(44100, 1, mode="linear")
+    resumed.set_state(state)
+    a = dev.process(jnp.asarray(sig[:, pos : pos + dev.samples_needed], jnp.float32))
+    b = resumed.process(jnp.asarray(sig[:, pos : pos + resumed.samples_needed], jnp.float32))
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert a[1] == b[1]
