@@ -515,3 +515,26 @@ def test_batch_bulk_multi_segment_eof_partial():
         np.testing.assert_array_equal(np.asarray(ra[0]), np.asarray(rb[0]))
         np.testing.assert_array_equal(ra[1], rb[1])
     assert eng.done and ref.done
+
+
+def test_batch_reset_lane_reuse_heterogeneous():
+    """A finished lane recycles for a fresh stream: output and positions
+    restart exactly as a brand-new lane would."""
+    specs = [LaneSpec("dfpwm", 48000), LaneSpec("ulaw", 8000)]
+    first = bytes(RNG.integers(0, 256, 6000, dtype=np.uint8))
+    second = bytes(RNG.integers(0, 256, 6000, dtype=np.uint8))
+    ulaw = bytes(RNG.integers(0, 256, 8000 * 2, dtype=np.uint8))
+    eng = BatchStreamEngine(specs)
+    eng.feed(0, first); eng.feed(0, None)
+    eng.feed(1, ulaw); eng.feed(1, None)
+    out1 = []
+    r = eng.step()
+    out1.append(np.asarray(r[0][0]))
+    # lane 0 finished; recycle it with a new stream while lane 1 continues
+    eng.reset_lane(0)
+    eng.feed(0, second); eng.feed(0, None)
+    r2 = eng.step()
+    assert r2[1][0] and r2[2][0] == 0.0  # fresh lane restarts at t=0
+    got = np.asarray(r2[0][0])
+    solo = run_engine([specs[0]], [second])[0][0]
+    np.testing.assert_array_equal(got[: len(solo)], solo[: len(got)])
