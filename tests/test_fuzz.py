@@ -309,3 +309,42 @@ def test_auconvert_map_language_fuzz():
     # a few valid maps must round-trip through the parser without error
     for good in ("1=1", "1+2=1", "1:2=2:1", "(1+2)*3=1", "1+2&3=1"):
         parse_map(good)
+
+
+def test_batch_encoder_schedule_invariance():
+    """The encoder engine's output must not depend on the feed schedule."""
+    from aukit_tpu.stream.batch_encode import BatchDfpwmEncoder
+
+    stream = (RNG.integers(-90, 90, 4800 * 3 + 800) & 0xFF).astype(np.uint8).tobytes()
+
+    def run(schedule_rng=None):
+        enc = BatchDfpwmEncoder(1, chunk_samples=4800)
+        cur = 0
+        outs = []
+        if schedule_rng is None:
+            enc.feed(0, stream)
+            enc.feed(0, None)
+        idle = 0
+        while idle < 50:
+            if schedule_rng is not None and cur < len(stream):
+                if schedule_rng.random() < 0.6:
+                    n = int(schedule_rng.integers(1, 7000))
+                    enc.feed(0, stream[cur : cur + n])
+                    cur += n
+                    if cur >= len(stream):
+                        enc.feed(0, None)
+            r = enc.step()
+            if r is None:
+                if schedule_rng is None or cur >= len(stream):
+                    break
+                idle += 1
+                continue
+            data, mask, _ = r
+            if mask[0]:
+                outs.append(np.asarray(data[0]))
+        return np.concatenate(outs) if outs else np.zeros(0, np.uint8)
+
+    ref = run(None)
+    for seed in (9, 10):
+        np.testing.assert_array_equal(run(np.random.default_rng(seed)), ref,
+                                      err_msg=f"seed {seed}")
