@@ -14,6 +14,7 @@ current position.
 
 from __future__ import annotations
 
+import bisect
 import queue
 import threading
 import time
@@ -74,7 +75,11 @@ class Player:
         self.volume = volume
         self.is_paused = False
         self.position = 0.0  # seconds
-        self._decoded: np.ndarray | None = None  # [C, n] growing buffer
+        # decoded history as a chunk list + start-offset index: appending is
+        # amortized O(1) like the reference's Lua table (aukit.lua:2085-2101);
+        # a growing np.concatenate would copy O(n^2) bytes over a long stream
+        self._chunks: list[np.ndarray] = []
+        self._starts: list[int] = []  # start sample of each chunk
         self._decoded_len = 0
         self._lock = threading.Condition()
         self._stop = False
@@ -89,13 +94,11 @@ class Player:
     def _load(self, iterator):
         try:
             for chunk, _pos in iterator if hasattr(iterator, "__iter__") else iter(iterator, None):
-                chunk = np.atleast_2d(np.asarray(chunk))
+                chunk = np.atleast_2d(np.asarray(chunk, np.float32))
                 with self._lock:
-                    if self._decoded is None:
-                        self._decoded = np.array(chunk, np.float32)
-                    else:
-                        self._decoded = np.concatenate([self._decoded, chunk], axis=1)
-                    self._decoded_len = self._decoded.shape[1]
+                    self._chunks.append(chunk)
+                    self._starts.append(self._decoded_len)
+                    self._decoded_len += chunk.shape[1]
                     self._lock.notify_all()
                 if self._stop:
                     return
@@ -104,22 +107,37 @@ class Player:
                 self._loader_done = True
                 self._lock.notify_all()
 
+    def _window(self, spos: int, n: int) -> np.ndarray:
+        """Slice [spos, spos+n) across chunk boundaries (lock held)."""
+        end = min(spos + n, self._decoded_len)
+        i = bisect.bisect_right(self._starts, spos) - 1
+        pieces = []
+        while spos < end:
+            c, s = self._chunks[i], self._starts[i]
+            take = c[:, spos - s : end - s]
+            pieces.append(take)
+            spos += take.shape[1]
+            i += 1
+        return pieces[0] if len(pieces) == 1 else np.concatenate(pieces, axis=1)
+
     # -- player task (aukit.lua:2102-2132) ---------------------------------------
     def _play_loop(self):
         while not self._stop:
             with self._lock:
-                spos = int(self.position * 48000)
+                # round, don't truncate: position accumulates float chunk
+                # durations, and int() on 111104.9999... would replay a sample
+                spos = int(round(self.position * 48000))
                 ready = (
                     not self.is_paused
-                    and self._decoded is not None
+                    and self._decoded_len > 0
                     and spos < self._decoded_len
                 )
                 if not ready:
-                    if self._loader_done and not self.is_paused and self._decoded is not None and spos >= self._decoded_len:
+                    if self._loader_done and not self.is_paused and self._decoded_len > 0 and spos >= self._decoded_len:
                         return  # end of stream (aukit.lua:2125-2127)
                     self._lock.wait(timeout=0.05)
                     continue
-                window = self._decoded[:, spos : spos + 48000]
+                window = self._window(spos, 48000)
                 self.position += window.shape[1] / 48000
             for i, sink in enumerate(self.sinks):
                 ch = window[i] if i < window.shape[0] else window[0]

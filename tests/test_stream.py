@@ -382,6 +382,23 @@ def test_player_pause_seek():
     assert out[0] == 0 and out[-1] == 2
 
 
+def test_player_windows_span_chunk_boundaries():
+    """The chunk-list decoded buffer (O(1) appends, VERDICT r2 item 7) must
+    reassemble 48000-sample play windows across chunk boundaries exactly."""
+    import time
+
+    n, total = 12345, 12345 * 9  # windows never align with chunk edges
+    ramp = (np.arange(total) % 101 - 50).astype(np.float32)  # int8-safe values
+    chunks = [(ramp[None, i : i + n], i / 48000.0) for i in range(0, total, n)]
+    sink = ak.playback.BufferSink()
+    p = ak.player(iter(chunks), sink)
+    deadline = time.time() + 10
+    while time.time() < deadline and len(sink.samples()) < total:
+        time.sleep(0.01)
+    p.stop()
+    np.testing.assert_array_equal(sink.samples(), ramp)
+
+
 def test_chunk_resampler_checkpoint_roundtrip():
     from aukit_tpu.stream.engine import ChunkResampler
 
