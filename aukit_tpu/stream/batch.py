@@ -48,7 +48,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..codecs.dfpwm import DfpwmState
 from ..config import CONFIG
 from ..parallel.pipeline import dsp_chain
 from .batch_codecs import LaneSpec, build_decoder, geometry, init_state
@@ -526,19 +525,23 @@ class BatchStreamEngine:
     # -- checkpoint / resume (SURVEY.md §5.4) ------------------------------------------
     def checkpoint(self, lane: int) -> dict:
         """Serializable per-stream state: re-feeding bytes from ``byte_offset``
-        after ``restore`` resumes the stream exactly. (Heterogeneous engines:
-        take checkpoints on one-second boundaries — FIFO remnants are not
-        captured.)"""
+        after ``restore`` resumes the stream exactly.
+
+        ``codec_state`` is the lane's row of every flattened codec-state leaf
+        (pytree-generic: any stateful lane codec round-trips, not just DFPWM).
+        Heterogeneous engines must checkpoint on a window boundary — a group
+        FIFO remnant is lockstep-shared across the group's lanes and cannot be
+        restored into a single lane, so a mid-window checkpoint raises rather
+        than silently dropping buffered audio."""
         gi, slot = self._lane_map[lane]
         g = self.groups[gi]
+        if self.heterogeneous and g.fill > 0:
+            raise ValueError(
+                "heterogeneous checkpoint requires a window boundary: the "
+                f"lane's group FIFO holds {g.fill} undelivered samples "
+                "(step() until the group drains, or checkpoint a finished lane)")
         byte_offset = int(g.samples_in[slot] * g.in_bytes // g.in_samples)
-        codec_state = {}
-        if g.stateful:
-            state = jax.tree_util.tree_unflatten(g._state_def, g._state_leaves)
-            codec_state = {
-                f: int(np.asarray(getattr(state, f))[slot])
-                for f in ("charge", "strength", "previous_bit", "previous_charge", "lowpass")
-            }
+        codec_state = [np.asarray(leaf)[slot].copy() for leaf in g._state_leaves]
         return {
             "byte_offset": byte_offset,
             "pending": g.io.pending_bytes(slot),
@@ -552,17 +555,14 @@ class BatchStreamEngine:
         g = self.groups[gi]
         g.samples_in[slot] = ckpt["byte_offset"] * g.in_samples // g.in_bytes
         g.io.replace_lane(slot, ckpt["pending"], ckpt["eof"])
-        if g.stateful and ckpt.get("codec_state"):
-            state = jax.tree_util.tree_unflatten(g._state_def, g._state_leaves)
-            arrs = {
-                f: np.asarray(getattr(state, f)).copy()
-                for f in ("charge", "strength", "previous_bit", "previous_charge", "lowpass")
-            }
-            for f, v in ckpt["codec_state"].items():
-                arrs[f][slot] = v
-            new_state = DfpwmState(*(jnp.asarray(arrs[f]) for f in
-                                     ("charge", "strength", "previous_bit", "previous_charge", "lowpass")))
-            g._state_leaves = jax.tree_util.tree_flatten(new_state)[0]
+        if g._state_leaves:
+            cs = ckpt.get("codec_state")  # None/absent -> zero the lane's state
+            new_leaves = []
+            for i, leaf in enumerate(g._state_leaves):
+                arr = np.asarray(leaf).copy()
+                arr[slot] = cs[i] if cs is not None else 0
+                new_leaves.append(jnp.asarray(arr))
+            g._state_leaves = new_leaves
         fir = np.asarray(g.fir).copy()
         fir[slot] = ckpt.get("fir_state", 0.0)
         g.fir = jnp.asarray(fir)
@@ -570,11 +570,8 @@ class BatchStreamEngine:
     def reset_lane(self, lane: int):
         """Reuse a finished lane for a new stream."""
         zero = {"byte_offset": 0, "pending": b"", "eof": False, "fir_state": 0.0,
-                "codec_state": {f: 0 for f in ("charge", "strength", "previous_bit",
-                                               "previous_charge", "lowpass")}}
+                "codec_state": None}
         gi, slot = self._lane_map[lane]
-        if not self.groups[gi].stateful:
-            zero["codec_state"] = {}
         self.restore(lane, zero)
         self.groups[gi].samples_out[slot] = 0
 
