@@ -195,6 +195,39 @@ def g711(input_data, ulaw: bool, channels: int = 1, sample_rate: int = 8000, mon
     return ChunkIterator(gen()), total
 
 
+def _blocks_resample(dec, hist, sample_rate, ratio_out, mode, out_len=None):
+    """Resample a second's decoded blocks in ONE vectorized call.
+
+    ``dec`` is [B, C, n] (every block of a second shares one plan); block b's
+    history row is block b-1 (the reference's negative-index carry,
+    aukit.lua:2642-2645/2797), block 0's is ``hist`` — the previous second's
+    last block — or zeros at stream start. Replaces the per-block Python loop
+    (VERDICT r2 item 3) bit-identically: a zero-filled full-width history row
+    with hist_valid=0 selects the same edge fallbacks as the loop's 1-column
+    seed, because only positions >= H - hist_valid are ever real.
+
+    Returns (out [C, B*out_len], new_hist [C, n])."""
+    B, C, n = dec.shape
+    prev = np.empty_like(dec)
+    prev[1:] = dec[:-1]
+    prev[0] = 0.0 if hist is None else hist
+    ext = np.concatenate([prev, dec], axis=2)  # [B, C, 2n]
+    if hist is None:
+        # stream start: block 0 has NO valid history (hv=0), blocks 1.. do
+        r0 = lua_block_resample(ext[:1], 0, n, sample_rate, ratio_out, mode,
+                                out_len=out_len, hist=n)
+        if B > 1:
+            r = lua_block_resample(ext[1:], n, n, sample_rate, ratio_out, mode,
+                                   out_len=out_len, hist=n)
+            out = np.concatenate([r0, r], axis=0)
+        else:
+            out = r0
+    else:
+        out = lua_block_resample(ext, n, n, sample_rate, ratio_out, mode,
+                                 out_len=out_len, hist=n)
+    return np.moveaxis(out, 0, 1).reshape(C, -1), dec[-1].copy()
+
+
 # -- stream.adpcm (IMA, WAV block layout; aukit.lua:2753-2835) --------------------
 
 def adpcm(input_data, block_align: int, channels: int = 1, sample_rate: int = 48000, mono: bool = False):
@@ -222,7 +255,6 @@ def adpcm(input_data, block_align: int, channels: int = 1, sample_rate: int = 48
                 return
             raw = np.frombuffer(d, np.uint8)
             nblocks = len(raw) // block_align
-            tail_block = None
             if nblocks == 0:
                 return
             blocks = raw[: nblocks * block_align].reshape(nblocks, block_align)
@@ -251,22 +283,7 @@ def adpcm(input_data, block_align: int, channels: int = 1, sample_rate: int = 48
                 preds = ima_adpcm_blocks(nibs, pred, sidx)
                 dec = preds[:, None, :].astype(np.float64)
             dec = dec / np.where(dec < 0, 128.0, 127.0)
-            outs = []
-            h = hist
-            for b in range(nblocks):
-                blk = dec[b]  # [C, samples]
-                nsamp = blk.shape[1]
-                if h is None:
-                    ext = np.concatenate([np.zeros((blk.shape[0], 1)), blk], axis=1)
-                    hv = 0
-                else:
-                    ext = np.concatenate([h, blk], axis=1)
-                    hv = h.shape[1]
-                res = lua_block_resample(ext, hv, nsamp, sample_rate, ratio_out, mode, hist=ext.shape[1] - nsamp)
-                outs.append(res)
-                h = blk
-            hist = h
-            out = np.concatenate(outs, axis=1)
+            out, hist = _blocks_resample(dec, hist, sample_rate, ratio_out, mode)
             if mono:
                 out = np.floor(out.mean(axis=0, keepdims=True))
             else:
@@ -369,26 +386,9 @@ def msadpcm(
                 head = head / np.where(head < 0, 128.0, 127.0)  # mono: no floor (aukit.lua:2712)
                 bodyf = preds.astype(np.float64) / np.where(preds < 0, 128.0, 127.0)
                 vals = np.concatenate([head, bodyf], axis=1)[:, None, :]  # [B, 1, 2+D]
-            outs = []
-            h = hist
-            for b in range(vals.shape[0]):
-                blk = vals[b]
-                nsamp = blk.shape[1]
-                if h is None:
-                    ext = np.concatenate([np.zeros((blk.shape[0], 1)), blk], axis=1)
-                    hv = 0
-                else:
-                    ext = np.concatenate([h, blk], axis=1)
-                    hv = h.shape[1]
-                res = lua_block_resample(
-                    ext, hv, nsamp, sample_rate, CONFIG.output_rate, mode,
-                    out_len=(samples_per_block * CONFIG.output_rate) // sample_rate,
-                    hist=ext.shape[1] - nsamp,
-                )
-                outs.append(res)
-                h = blk
-            hist = h
-            out = np.concatenate(outs, axis=1)
+            out, hist = _blocks_resample(
+                vals, hist, sample_rate, CONFIG.output_rate, mode,
+                out_len=(samples_per_block * CONFIG.output_rate) // sample_rate)
             if mono and channels == 2:
                 out = np.floor(out.mean(axis=0, keepdims=True))
             else:
