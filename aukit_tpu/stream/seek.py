@@ -8,6 +8,13 @@ decode-from-start or saved state").
 lane) and audio resumes at ``landing_seconds`` — bit-identical to having
 decoded from the start, because these codecs carry their state in-band.
 
+FLAC seeks by a validated frame-sync walk (``flac_seek``): scan for the
+14-bit 0x3FFE sync code, check the header's reserved bits / block-size and
+rate codes / UTF-8 coded number / CRC8 (the fields the reference's frame
+walk reads, aukit.lua:514-553), and land on the last frame starting at or
+before the target — FLAC frames carry their warmup in-band, so decode from
+a frame boundary is exact.
+
 DFPWM is intentionally absent: its decoder state is NOT in-band, so exact
 seek requires either decode-from-start or a saved checkpoint
 (BatchStreamEngine.checkpoint / ChunkResampler.get_state)."""
@@ -67,6 +74,118 @@ def qoa_seek(data: bytes, seconds: float) -> tuple[int, float]:
         sample_pos += samples
         pos += frame_size
     return pos, sample_pos / sample_rate if sample_rate else 0.0
+
+
+def _flac_crc8(data) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_utf8(data: bytes, i: int):
+    """FLAC's UTF-8-style coded number at data[i] -> (value, next_index) or
+    None on malformed coding (used to reject false sync matches)."""
+    b0 = data[i]
+    if b0 < 0x80:
+        return b0, i + 1
+    if b0 & 0x40 == 0:  # 10xxxxxx: continuation byte cannot lead
+        return None
+    count = 0
+    mask = 0x40
+    while b0 & mask:
+        count += 1
+        mask >>= 1
+    if count > 6 or i + count >= len(data):
+        return None
+    val = b0 & (mask - 1)
+    for k in range(count):
+        b = data[i + 1 + k]
+        if b & 0xC0 != 0x80:
+            return None
+        val = (val << 6) | (b & 0x3F)
+    return val, i + 1 + count
+
+
+_BLOCK_FROM_CODE = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+
+
+def _flac_frame_header(data: bytes, i: int):
+    """Validate a candidate frame header at data[i]. Returns
+    (start_is_sample, coded_number, block_size) or None. Checks sync, the
+    reserved bits, block-size/rate codes, the coded number's UTF-8 shape and
+    the header CRC8 (aukit.lua:514-553 reads these same fields; the byte it
+    discards at :553 is this CRC)."""
+    try:
+        if data[i] != 0xFF or data[i + 1] >> 2 != 0x3E or data[i + 1] & 2:
+            return None
+        variable = bool(data[i + 1] & 1)
+        bs_code, sr_code = data[i + 2] >> 4, data[i + 2] & 0xF
+        if bs_code == 0 or sr_code == 15:
+            return None
+        if data[i + 3] >> 4 > 10 or data[i + 3] & 1:
+            return None
+        num = _flac_utf8(data, i + 4)
+        if num is None:
+            return None
+        coded, p = num
+        if bs_code == 6:
+            block = data[p] + 1
+            p += 1
+        elif bs_code == 7:
+            block = (data[p] << 8 | data[p + 1]) + 1
+            p += 2
+        else:
+            block = _BLOCK_FROM_CODE[bs_code]
+        if sr_code == 12:
+            p += 1
+        elif sr_code in (13, 14):
+            p += 2
+        if _flac_crc8(data[i:p]) != data[p]:
+            return None
+        return variable, coded, block
+    except IndexError:
+        return None
+
+
+def flac_seek(data: bytes, seconds: float) -> tuple[int, float]:
+    """FLAC: validated frame-sync walk from the first audio frame. ``data``
+    is the whole file (or its head through the target); returns the offset of
+    the last frame starting at or before ``seconds``. Resume by feeding
+    ``data[:frame_start] + data[offset:]`` (metadata header + frames from the
+    landing) to ``stream.flac`` or ``aukit.flac``."""
+    from ..codecs.flac import parse_flac_header
+
+    sample_rate, _ch, _depth, num_samples, _meta, fpos = parse_flac_header(data)
+    # STREAMINFO is always the first metadata block: nominal (max) block size
+    # converts fixed-blocksize frame indices to sample starts
+    nominal = int.from_bytes(data[10:12], "big")
+    target = int(seconds * sample_rate)
+    if num_samples:
+        target = min(target, num_samples)
+    best, best_start = fpos, 0
+    i = fpos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i, n - 4)
+        if j < 0:
+            break
+        hdr = _flac_frame_header(data, j)
+        if hdr is None:
+            i = j + 1
+            continue
+        variable, coded, _block = hdr
+        start = coded if variable else coded * nominal
+        if start > target:
+            break
+        if start >= best_start:  # frames arrive in order; reject stale hits
+            best, best_start = j, start
+        i = j + 4
+    return best, best_start / sample_rate
 
 
 def wav_data_seek(fmt_code: int, seconds: float, sample_rate: int, channels: int,

@@ -199,11 +199,34 @@ def flac_stream_header(sample_rate: int, channels: int, depth: int, total: int, 
     return bytes(out)
 
 
+def _flac_crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _utf8_coded(n: int) -> bytes:
+    """FLAC's UTF-8-style frame/sample number coding (1-7 bytes)."""
+    if n < 0x80:
+        return bytes([n])
+    # count continuation bytes: payload = (6 - count) lead bits + 6*count
+    for count in range(1, 7):
+        if n.bit_length() <= 6 - count + 6 * count:
+            lead = (0xFF << (7 - count)) & 0xFF | (n >> (6 * count))
+            cont = [0x80 | ((n >> (6 * (count - 1 - k))) & 0x3F) for k in range(count)]
+            return bytes([lead] + cont)
+    raise ValueError("frame number too large")
+
+
 def flac_frame(
     channel_data: list,  # per-subframe dicts: {"type": ..., ...}
     block_size: int,
     chan_asgn: int,
     depth_bits: int,
+    frame_number: int = 0,
 ) -> bytes:
     w = BitWriter()
     w.write(0x3FFE, 14)
@@ -212,9 +235,10 @@ def flac_frame(
     w.write(0, 4)  # sample rate code 0: use STREAMINFO
     w.write(chan_asgn, 4)
     w.write(0, 4)
-    w.write(0x00, 8)  # "UTF-8" frame number 0
+    for b in _utf8_coded(frame_number):
+        w.write(b, 8)
     w.write(block_size - 1, 16)
-    w.write(0xAA, 8)  # CRC8 (ignored by decoder)
+    w.write(_flac_crc8(w.bytes()), 8)  # real CRC8 (decoder ignores; seek checks)
     for i, sub in enumerate(channel_data):
         depth = depth_bits
         if chan_asgn == 9 and i == 0 or chan_asgn in (8, 10) and i == 1:

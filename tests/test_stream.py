@@ -649,6 +649,47 @@ def test_stream_seek_points_resume_exactly():
     assert (off_q - 8) % (8 + 16 + 256 * 8) == 0  # frame-aligned
 
 
+def test_flac_seek_frame_boundary_resume():
+    """flac_seek: validated sync walk lands on a frame boundary; decoding
+    header + frames-from-the-landing is BIT-identical to the from-start
+    decode's tail (frames carry warmup in-band; SURVEY §5.4)."""
+    from aukit_tpu.codecs import flac as fc
+    from aukit_tpu.stream import seek as sk
+
+    n, rate = 4096, 48000
+    frames = []
+    for k in range(24):  # ~2 s, distinct content per frame
+        vals = (np.arange(n) * (k + 3) % 1999 - 999).astype(int)
+        frames.append(fixtures.flac_frame(
+            [{"type": "verbatim", "values": [int(v) for v in vals]}],
+            n, 0, 16, frame_number=k))
+    data = fixtures.flac_stream_header(rate, 1, 16, 24 * n) + b"".join(frames)
+    hdr_len = len(fixtures.flac_stream_header(rate, 1, 16, 24 * n))
+
+    off, landing = sk.flac_seek(data, 1.3)
+    k = int(1.3 * rate) // n
+    assert landing == k * n / rate  # last frame boundary at/under target
+    assert off == hdr_len + sum(len(f) for f in frames[:k])
+
+    full, _sr, _m, _d = fc.decode_flac(data)
+    part, _sr2, _m2, _d2 = fc.decode_flac(data[:hdr_len] + data[off:])
+    skip = int(round(landing * rate))
+    np.testing.assert_array_equal(part, full[:, skip:])
+
+    # stream-level resume: exact after the (restarted) IIR lowpass converges
+    it_f, _ = ak.stream.flac(data)
+    full_s = np.concatenate([c for c, _ in collect(it_f)], axis=1)
+    it_p, _ = ak.stream.flac(data[:hdr_len] + data[off:])
+    part_s = np.concatenate([c for c, _ in collect(it_p)], axis=1)
+    m = part_s.shape[1]
+    np.testing.assert_allclose(part_s[:, :16], full_s[:, skip : skip + 16], atol=6.0)
+    np.testing.assert_allclose(part_s[:, 16:], full_s[:, skip + 16 : skip + m], atol=1e-9)
+
+    # a mid-stream target between syncs still lands on the preceding frame
+    off2, landing2 = sk.flac_seek(data, 0.0)
+    assert (off2, landing2) == (hdr_len, 0.0)
+
+
 def test_stream_pcm_native_dsp_bit_identical(monkeypatch):
     """The fused C++ unpack/DSP paths must be BIT-identical to the numpy
     oracle across dtypes, rates, channels, and chunk boundaries."""
