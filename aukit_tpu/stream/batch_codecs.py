@@ -26,7 +26,12 @@ from ..codecs.adpcm import MSADPCM_DEFAULT_COEFFS, ima_adpcm_scan, msadpcm_scan
 from ..codecs.dfpwm import DfpwmState, dfpwm_decode
 from ..codecs.qoa import QOA_DEQUANT, qoa_lms_scan
 
-CODECS = ("dfpwm", "pcm8", "pcm16", "pcm16be", "ulaw", "alaw", "ima", "msadpcm", "qoa")
+CODECS = ("dfpwm", "pcm8", "pcm8u", "pcm16", "pcm16be", "pcm24", "pcm24be",
+          "pcm32", "pcm32be", "f32", "f32be", "ulaw", "alaw", "ima", "msadpcm", "qoa")
+
+_BYTES_PER_SAMPLE = {"pcm8": 1, "pcm8u": 1, "ulaw": 1, "alaw": 1,
+                     "pcm16": 2, "pcm16be": 2, "pcm24": 3, "pcm24be": 3,
+                     "pcm32": 4, "pcm32be": 4, "f32": 4, "f32be": 4}
 
 QOA_SLICES_PER_FRAME = 256
 QOA_SAMPLES_PER_FRAME = QOA_SLICES_PER_FRAME * 20  # 5120
@@ -82,8 +87,9 @@ def lane_spec_for_wav(data: bytes) -> tuple[LaneSpec, int, int]:
                 raise ValueError("invalid WAV file")
             data_type, channels, rate, block_align, bit_depth, _co = fmt
             codec = {
-                "signed": "pcm16" if bit_depth == 16 else None,
-                "unsigned": "pcm8" if bit_depth == 8 else None,
+                "signed": {16: "pcm16", 24: "pcm24", 32: "pcm32"}.get(bit_depth),
+                "unsigned": "pcm8u" if bit_depth == 8 else None,
+                "float": "f32" if bit_depth == 32 else None,
                 "alaw": "alaw", "ulaw": "ulaw",
                 "adpcm": "ima", "msadpcm": "msadpcm", "dfpwm": "dfpwm",
             }.get(data_type)
@@ -123,8 +129,9 @@ def lane_spec_for_aiff(data: bytes) -> tuple[LaneSpec, int, int]:
                 raise ValueError("invalid AIFF file")
             channels, depth, rate, comp = meta
             offset, _align = struct.unpack_from(">II", data, pos)
-            codec = {"NONE": "pcm16be" if depth == 16 else None,
-                     "sowt": "pcm16" if depth == 16 else None,
+            codec = {"NONE": {16: "pcm16be", 24: "pcm24be", 32: "pcm32be"}.get(depth),
+                     "sowt": {16: "pcm16", 24: "pcm24", 32: "pcm32"}.get(depth),
+                     "fl32": "f32be", "FL32": "f32be",
                      "alaw": "alaw", "ALAW": "alaw",
                      "ulaw": "ulaw", "ULAW": "ulaw"}.get(comp)
             if codec is None:
@@ -136,12 +143,13 @@ def lane_spec_for_aiff(data: bytes) -> tuple[LaneSpec, int, int]:
 
 def lane_spec_for_au(data: bytes) -> tuple[LaneSpec, int, int]:
     """AU header -> (spec, data_offset, data_size); encodings 1 µ-law,
-    3 PCM16 BE, 27 A-law (aukit.lua:1636-1651, incl. the 1-based offset
-    quirk Q20)."""
+    2-5 BE PCM 8/16/24/32, 6 f32 BE, 27 A-law (aukit.lua:1636-1651, incl.
+    the 1-based offset quirk Q20)."""
     from ..containers.au import parse_au_header
 
     offset, size, encoding, rate, channels = parse_au_header(bytes(data))
-    codec = {1: "ulaw", 3: "pcm16be", 27: "alaw"}.get(encoding)
+    codec = {1: "ulaw", 2: "pcm8", 3: "pcm16be", 4: "pcm24be", 5: "pcm32be",
+             6: "f32be", 27: "alaw"}.get(encoding)
     if codec is None:
         raise ValueError(f"no engine lane mapping for AU encoding {encoding}")
     start = offset - 1  # reference 1-based offset quirk
@@ -150,18 +158,48 @@ def lane_spec_for_au(data: bytes) -> tuple[LaneSpec, int, int]:
     return LaneSpec(codec, rate, channels), start, size
 
 
+def lane_spec_for_qoa(data: bytes) -> tuple[LaneSpec, int, int]:
+    """QOA file header -> (spec, data_offset, data_size): strips the 8-byte
+    ``qoaf`` header (aukit.lua:1713-1717) so raw QOA files feed engine lanes
+    directly; the trailing short frame is handled by the decoder's
+    header-count masking."""
+    if data[:4] != b"qoaf":
+        raise ValueError("Not a QOA file")
+    channels = data[8]
+    rate = int.from_bytes(bytes(data[9:12]), "big")
+    return LaneSpec("qoa", rate, channels), 8, len(data) - 8
+
+
+def mdfpwm_to_lanes(data: bytes):
+    """MDFPWMv3 -> two mono DFPWM engine lanes (aukit.lua:1416-1448): parse
+    the header, de-interleave the alternating 6000-byte L/R blocks, and trim
+    each lane to length//2 bytes (the loader's length*8-sample trim split
+    across the two channels). Returns (LaneSpec, left_bytes, right_bytes)."""
+    from ..containers.mdfpwm import parse_mdfpwm_header
+
+    length, _artist, _title, _album, hdr = parse_mdfpwm_header(bytes(data))
+    arr = np.frombuffer(bytes(data), np.uint8, count=len(data) - hdr, offset=hdr)
+    nb = len(arr) // 12000
+    pairs = arr[: nb * 12000].reshape(nb, 2, 6000)
+    left = bytearray(pairs[:, 0].reshape(-1).tobytes())
+    right = bytearray(pairs[:, 1].reshape(-1).tobytes())
+    tail = arr[nb * 12000 :]
+    left += tail[:6000].tobytes()
+    right += tail[6000:].tobytes()
+    per = length // 2
+    return LaneSpec("dfpwm", 48000, 1), bytes(left[:per]), bytes(right[:per])
+
+
 def geometry(spec: LaneSpec) -> tuple[int, int]:
     """(in_bytes, in_samples) consumed/decoded per lane per step."""
     r, ch, ba = spec.sample_rate, spec.channels, spec.block_align
     if spec.codec == "dfpwm":
         n = spec.chunk_bytes or r // 8
         return n, n * 8
-    if spec.codec in ("pcm8", "ulaw", "alaw"):
-        n = spec.chunk_bytes or r * ch
-        return n, n // ch
-    if spec.codec in ("pcm16", "pcm16be"):
-        n = spec.chunk_bytes or 2 * r * ch
-        return n, n // (2 * ch)
+    bps = _BYTES_PER_SAMPLE.get(spec.codec)
+    if bps is not None:
+        n = spec.chunk_bytes or bps * r * ch
+        return n, n // (bps * ch)
     if spec.codec == "ima":
         spb = (ba - 4 * ch) * 2 // ch
         k = max(1, -(-spec.chunk_bytes // ba)) if spec.chunk_bytes else -(-r // spb)
@@ -202,12 +240,54 @@ def _be16(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
 
 # -- per-codec decoders (bytes -> mono float) ------------------------------------------
 
+def _frames(spec: LaneSpec, f: jnp.ndarray) -> jnp.ndarray:
+    """Interleaved samples -> mono [L, T] (mean mixdown, aukit.lua:685-687)."""
+    L = f.shape[0]
+    return _mono(jnp.moveaxis(f.reshape(L, -1, spec.channels), -1, -2))
+
+
 def _decode_pcm8(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
     v = b.astype(jnp.int32)
     v = jnp.where(v >= 128, v - 256, v)
-    L = v.shape[0]
-    f = _norm8(v).reshape(L, -1, spec.channels)
-    return _mono(jnp.moveaxis(f, -1, -2))
+    return _frames(spec, _norm8(v))
+
+
+def _decode_pcm8u(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+    """Unsigned 8-bit (WAV): bias 128 then asymmetric normalize (Q1 path,
+    aukit.lua:1088/1152)."""
+    v = b.astype(jnp.int32) - 128
+    return _frames(spec, _norm8(v))
+
+
+def _decode_pcm24(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+    x = b.astype(jnp.int32)
+    if spec.codec.endswith("be"):
+        v = (x[:, 0::3] << 16) | (x[:, 1::3] << 8) | x[:, 2::3]
+    else:
+        v = (x[:, 2::3] << 16) | (x[:, 1::3] << 8) | x[:, 0::3]
+    v = jnp.where(v >= 1 << 23, v - (1 << 24), v)
+    f = v.astype(jnp.float32) / jnp.where(v < 0, 8388608.0, 8388607.0)
+    return _frames(spec, f)
+
+
+def _u32_words(b: jnp.ndarray, big_endian: bool) -> jnp.ndarray:
+    u = b.astype(jnp.uint32)
+    if big_endian:
+        return (u[:, 0::4] << 24) | (u[:, 1::4] << 16) | (u[:, 2::4] << 8) | u[:, 3::4]
+    return (u[:, 3::4] << 24) | (u[:, 2::4] << 16) | (u[:, 1::4] << 8) | u[:, 0::4]
+
+
+def _decode_pcm32(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+    v = jax.lax.bitcast_convert_type(_u32_words(b, spec.codec.endswith("be")), jnp.int32)
+    f = v.astype(jnp.float32) / jnp.where(v < 0, 2147483648.0, 2147483647.0)
+    return _frames(spec, f)
+
+
+def _decode_f32(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+    """Raw IEEE f32 samples, used directly like the reference's float loader
+    (aukit.lua:1102: no normalization)."""
+    f = jax.lax.bitcast_convert_type(_u32_words(b, spec.codec.endswith("be")), jnp.float32)
+    return _frames(spec, f)
 
 
 def _decode_pcm16(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
@@ -379,8 +459,15 @@ def build_decoder(spec: LaneSpec, use_pallas: bool):
         return fn, True
     decoders = {
         "pcm8": _decode_pcm8,
+        "pcm8u": _decode_pcm8u,
         "pcm16": _decode_pcm16,
         "pcm16be": _decode_pcm16,
+        "pcm24": _decode_pcm24,
+        "pcm24be": _decode_pcm24,
+        "pcm32": _decode_pcm32,
+        "pcm32be": _decode_pcm32,
+        "f32": _decode_f32,
+        "f32be": _decode_f32,
         "ulaw": _decode_g711,
         "alaw": _decode_g711,
     }

@@ -602,3 +602,108 @@ def test_batch_heterogeneous_mid_window_checkpoint_raises():
     eng.checkpoint(0)  # dfpwm group drained exactly: fine
     with pytest.raises(ValueError, match="window boundary"):
         eng.checkpoint(1)
+
+
+def norm_depth(v, depth):
+    v = np.asarray(v, np.float64)
+    half = float(1 << (depth - 1))
+    return (v / np.where(v < 0, half, half - 1)).astype(np.float32)
+
+
+def test_batch_pcm24_pcm32_f32_lanes():
+    """Wide-PCM and float lane codecs (VERDICT r2 item 5): LE + BE variants
+    decode to the loader-normalized signal through the dsp chain."""
+    rate, n = 48000, 48000
+    sig24 = ((np.sin(np.arange(n) / 7.0) * (1 << 22)).astype(np.int64))
+    sig32 = ((np.sin(np.arange(n) / 11.0) * (1 << 30)).astype(np.int64))
+    sigf = (np.sin(np.arange(n) / 13.0) * 0.7).astype(np.float32)
+
+    def le24(v):
+        u = np.where(v < 0, v + (1 << 24), v).astype(np.uint32)
+        out = np.empty(3 * len(u), np.uint8)
+        out[0::3], out[1::3], out[2::3] = u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF
+        return out.tobytes()
+
+    feeds = {
+        "pcm24": le24(sig24),
+        "pcm24be": bytes(reversed(bytearray(le24(sig24[::-1].copy())))),
+        "pcm32": sig32.astype("<i4").tobytes(),
+        "pcm32be": sig32.astype(">i4").tobytes(),
+        "f32": sigf.astype("<f4").tobytes(),
+        "f32be": sigf.astype(">f4").tobytes(),
+    }
+    exps = {
+        "pcm24": dsp_ref(norm_depth(sig24, 24), rate)[0],
+        "pcm32": dsp_ref(norm_depth(sig32, 32), rate)[0],
+        "f32": dsp_ref(sigf, rate)[0],
+    }
+    specs = [LaneSpec(c, rate, 1) for c in feeds]
+    outs, _ = run_engine(specs, list(feeds.values()))
+    for i, c in enumerate(feeds):
+        exp = exps[c.removesuffix("be")]
+        np.testing.assert_allclose(outs[i][: len(exp)], exp, atol=1,
+                                   err_msg=c)
+
+
+def test_batch_pcm8u_wav_bridge():
+    """WAV unsigned 8-bit maps to the pcm8u lane (bias-128), not the signed
+    pcm8 lane."""
+    from aukit_tpu.stream.batch_codecs import lane_spec_for_wav
+
+    rate = 48000
+    sig = (np.sin(np.arange(rate) / 5.0) * 100 + 128).astype(np.int64)
+    w = fixtures.wav_pcm(sig[None, :], rate, 8)
+    spec, off, size = lane_spec_for_wav(w)
+    assert spec == LaneSpec("pcm8u", rate, 1)
+    outs, _ = run_engine([spec], [w[off : off + size]])
+    exp, _ = dsp_ref(norm_depth(sig - 128, 8), rate)
+    np.testing.assert_allclose(outs[0][: len(exp)], exp, atol=1)
+
+
+def test_lane_spec_for_qoa_bridge():
+    """Raw QOA files feed lanes without hand-stripping the 8-byte header."""
+    from aukit_tpu.stream.batch_codecs import lane_spec_for_qoa
+
+    rate = 10240
+    data = fixtures.qoa_stream(RNG, 2, rate, [5120, 5120]) + b"\x00" * 8
+    spec, off, size = lane_spec_for_qoa(data)
+    assert spec == LaneSpec("qoa", rate, 2) and off == 8
+    outs, _ = run_engine([spec], [data[off : off + size]])
+    solo = run_engine([LaneSpec("qoa", rate, 2)], [data[8:]])[0][0]
+    np.testing.assert_array_equal(outs[0], solo)
+
+
+def test_batch_qoa_short_final_frame():
+    """A short trailing QOA frame (header sample count < 5120) decodes via
+    zero-pad + header-count masking (VERDICT r2 weak item 6)."""
+    rate = 10240
+    data = fixtures.qoa_stream(RNG, 1, rate, [5120, 1000]) + b"\x00" * 8
+    ref = refc.qoa_ref(data)[0][0]  # [N] mono
+    assert len(ref) == 6120
+    # the engine's fixed window pads the short frame's tail with zeros
+    padded = np.concatenate([norm16f(ref), np.zeros(2 * 5120 - len(ref), np.float32)])
+    exp, _ = dsp_ref(padded, rate)
+    outs, _ = run_engine([LaneSpec("qoa", rate, 1)], [data[8:]])
+    np.testing.assert_allclose(outs[0][: len(exp)], exp, atol=1)
+
+
+def test_mdfpwm_to_lanes_bridge():
+    """MDFPWM -> two DFPWM engine lanes: de-interleave + length trim matches
+    the loader's channel split (aukit.lua:1420-1448)."""
+    from aukit_tpu.stream.batch_codecs import mdfpwm_to_lanes
+
+    left = bytes(RNG.integers(0, 256, 12000, dtype=np.uint8))
+    right = bytes(RNG.integers(0, 256, 12000, dtype=np.uint8))
+    f = fixtures.mdfpwm_file(left, right, 24000)
+    spec, lb, rb = mdfpwm_to_lanes(f)
+    assert spec == LaneSpec("dfpwm", 48000, 1)
+    assert lb == left and rb == right
+    # odd trim length: lanes cut at length//2 bytes each
+    f2 = fixtures.mdfpwm_file(left, right, 18000)
+    _, lb2, rb2 = mdfpwm_to_lanes(f2)
+    assert lb2 == left[:9000] and rb2 == right[:9000]
+    # the lanes decode through the engine exactly like the stream path's
+    # per-channel decoders (pre-DSP parity via the reference transliteration)
+    outs, _ = run_engine([spec, spec], [lb, rb])
+    exp_l, _ = dsp_ref(norm_depth(np.array(dfpwm_decode_ref(left)), 8), 48000)
+    np.testing.assert_allclose(outs[0][: len(exp_l)], exp_l, atol=1)
