@@ -23,9 +23,11 @@ independent streams into fixed lanes:
    starved lane never stalls the batch (§5.3 per-stream error isolation);
  - per-lane serializable checkpoints (§5.4): byte offset + codec state + DSP
    state; ``checkpoint()``/``restore()`` round-trip through numpy;
- - optional ``jax.sharding.Mesh`` (homogeneous engines): lanes are sharded
-   over the mesh so the same engine scales across chips with XLA-inserted
-   collectives only.
+ - optional ``jax.sharding.Mesh``: every group (homogeneous or mixed fleet)
+   shards its lanes over the whole mesh — lanes are padded per group to a
+   device-count multiple and the pad rows masked — so the same engine scales
+   across chips with XLA-inserted collectives only (SURVEY.md §2.4
+   "sharded over chips", §5.8).
 
 Output contract: homogeneous engines (one group) emit each decode chunk
 directly as a device array (the flagship DFPWM bench path). Heterogeneous
@@ -271,8 +273,13 @@ class _Group:
             )
         self.use_pallas = use_pallas
         self.io = _GroupIO(self.lanes, self.in_bytes)
-        self.fir = jnp.zeros(self.lanes, jnp.float32)
-        state = init_state(spec, self.lanes)
+        # a sharded group pads its device lanes to a device-count multiple so
+        # EVERY group of a mixed fleet shards over the whole mesh (VERDICT r2
+        # item 2); host bookkeeping stays at the real lane count
+        self.pad = 0 if mesh is None else (-self.lanes) % mesh.devices.size
+        self.dlanes = self.lanes + self.pad
+        self.fir = jnp.zeros(self.dlanes, jnp.float32)
+        state = init_state(spec, self.dlanes)
         self._state_leaves, self._state_def = jax.tree_util.tree_flatten(state)
         self.samples_in = np.zeros(self.lanes, np.int64)  # input samples consumed
         self.samples_out = np.zeros(self.lanes, np.int64)  # output samples emitted
@@ -316,16 +323,22 @@ class _Group:
         return jax.jit(step)
 
     def decode_once(self):
-        """Stage + dispatch one chunk. Returns (out_dev, ready, underrun) or
-        None when no lane could produce."""
+        """Stage + dispatch one chunk. Returns (out_dev[dlanes, T], ready,
+        underrun) or None when no lane could produce. Sharded groups carry
+        ``pad`` masked-off device lanes (see __init__)."""
         st = self.io.stage()
         if st is None:
             return None
         staged, ready, consumed, underrun = st
+        ready_dev = ready
+        if self.pad:
+            pad = ((0, self.pad), (0, 0))
+            staged = np.pad(staged, pad) if isinstance(staged, np.ndarray) else jnp.pad(staged, pad)
+            ready_dev = np.pad(ready, (0, self.pad))
         dev = jnp.asarray(staged)
         if self._sharding is not None:
             dev = jax.device_put(dev, self._sharding)
-        out, fir, *state = self._step_fn(dev, jnp.asarray(ready[:, None]), self.fir, *self._state_leaves)
+        out, fir, *state = self._step_fn(dev, jnp.asarray(ready_dev[:, None]), self.fir, *self._state_leaves)
         self.fir = fir
         self._state_leaves = state
         self.samples_in += np.where(ready, (consumed * self.in_samples) // self.in_bytes, 0)
@@ -373,7 +386,8 @@ class BatchStreamEngine:
     Parameters
     ----------
     specs : one LaneSpec per lane (lanes with equal specs share a group/dispatch)
-    mesh : optional Mesh (homogeneous engines only); lanes sharded over all axes
+    mesh : optional Mesh; every group's lanes shard over all axes (mixed
+        fleets too — each group pads to a device-count multiple)
     use_pallas : force/disable the Pallas kernels (default: auto on TPU)
     """
 
@@ -393,8 +407,6 @@ class BatchStreamEngine:
             by_spec.setdefault(s, []).append(i)
         self.heterogeneous = len(by_spec) > 1
         if self.heterogeneous:
-            if mesh is not None:
-                raise ValueError("mesh sharding requires a homogeneous engine")
             for s in by_spec:
                 if s.chunk_bytes:
                     raise ValueError("chunk_bytes overrides require a homogeneous engine")
@@ -406,9 +418,13 @@ class BatchStreamEngine:
         for gi, g in enumerate(self.groups):
             for slot, lane in enumerate(g.slots):
                 self._lane_map[lane] = (gi, slot)
-        # inverse permutation: concat-of-groups row order -> engine lane order
-        order = np.concatenate([g.slots for g in self.groups])
-        self._inv_perm_dev = jnp.asarray(np.argsort(order))
+        # engine lane -> row in the concat of the groups' (padded) windows
+        row = np.zeros(self.lanes, np.int64)
+        base = 0
+        for g in self.groups:
+            row[g.slots] = base + np.arange(g.lanes)
+            base += g.dlanes
+        self._inv_perm_dev = jnp.asarray(row)
         self.mesh = mesh
         self.metrics = BatchMetrics()
 
@@ -484,6 +500,8 @@ class BatchStreamEngine:
         if r is None:
             return None
         out, ready, underrun = r
+        if g.pad:
+            out = out[: g.lanes]
         self.metrics.underruns += int(underrun)
         g.samples_out += np.where(ready, g.out_samples, 0)
         return out, ready, positions, g.out_samples
@@ -512,7 +530,7 @@ class BatchStreamEngine:
             else:
                 # starved (not exhausted): hold the partial FIFO — popping it
                 # now would zero-pad silence INTO the lane's timeline
-                got = jnp.zeros((g.lanes, out_rate), jnp.int8)
+                got = jnp.zeros((g.dlanes, out_rate), jnp.int8)
                 had_real = np.zeros(g.lanes, bool)
             windows.append(got)
             mask[g.slots] = had_real

@@ -414,13 +414,6 @@ def test_batch_engine_argument_errors():
     with pytest.raises(ValueError):  # heterogeneous + chunk override
         BatchStreamEngine([LaneSpec("dfpwm", 48000, chunk_bytes=600),
                            LaneSpec("ulaw", 8000)])
-    import jax
-    from aukit_tpu.parallel.pipeline import make_mesh
-
-    if len(jax.devices()) >= 2:
-        with pytest.raises(ValueError):  # mesh requires homogeneous
-            BatchStreamEngine([LaneSpec("dfpwm", 48000), LaneSpec("ulaw", 8000)],
-                              mesh=make_mesh(2))
     eng = BatchDfpwmDecoder(2, 48000, chunk_bytes=600)
     eng.feed_array(np.zeros((2, 600), np.uint8), eof=False)
     with pytest.raises(RuntimeError):  # bulk and per-lane feeds don't mix
@@ -707,3 +700,37 @@ def test_mdfpwm_to_lanes_bridge():
     outs, _ = run_engine([spec, spec], [lb, rb])
     exp_l, _ = dsp_ref(norm_depth(np.array(dfpwm_decode_ref(left)), 8), 48000)
     np.testing.assert_allclose(outs[0][: len(exp_l)], exp_l, atol=1)
+
+
+def test_batch_mixed_fleet_sharded_over_mesh():
+    """Heterogeneous engines shard over a mesh (VERDICT r2 item 2): every
+    group pads its lanes to a device-count multiple, and the 8-way-sharded
+    mixed fleet is BIT-identical to the unsharded one."""
+    from aukit_tpu.parallel.pipeline import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(8)
+    # group sizes 3 / 2 / 1: none divides the 8-device mesh
+    specs = ([LaneSpec("dfpwm", 48000)] * 3 + [LaneSpec("ulaw", 8000)] * 2
+             + [LaneSpec("pcm16", 24000)])
+    feeds = [bytes(RNG.integers(0, 256, 6000 * 2, dtype=np.uint8)) for _ in range(3)]
+    feeds += [bytes(RNG.integers(0, 256, 8000 * 2, dtype=np.uint8)) for _ in range(2)]
+    feeds += [(np.sin(np.arange(24000 * 2) / 9.0) * 20000).astype("<i2").tobytes()]
+
+    def run(mesh_arg):
+        eng = BatchStreamEngine(specs, mesh=mesh_arg)
+        for lane, d in enumerate(feeds):
+            eng.feed(lane, d)
+            eng.feed(lane, None)
+        outs = []
+        while (r := eng.step()) is not None:
+            outs.append((np.asarray(r[0]), r[1].copy(), r[2].copy()))
+        return outs
+
+    sharded, plain = run(mesh), run(None)
+    assert len(sharded) == len(plain) > 0
+    for (cs, ms, ps), (cp, mp, pp) in zip(sharded, plain):
+        np.testing.assert_array_equal(cs, cp)
+        np.testing.assert_array_equal(ms, mp)
+        np.testing.assert_array_equal(ps, pp)
