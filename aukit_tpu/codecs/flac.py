@@ -381,17 +381,20 @@ def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_nativ
     return frame_meta, sub, coefs, np.array(values, np.int64)
 
 
-def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, depth: int):
-    """Batched LPC restore across all subframes, then per-frame stereo
-    decorrelation + sign wrap. Returns int64[C, N] raw samples.
+def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None):
+    """Batched LPC restore (+ wasted-bits shift) over a FLAT subframe batch:
+    one contiguous span of warmup+residuals per subframe (the parser layout).
+    Returns restored_flat int64[sum(block)].
 
-    The restore runs in place on the parser's FLAT values (one contiguous
-    span per subframe) — no padded-matrix staging; the typical uniform file
-    (constant block size + one stereo mode, short final frame at most)
-    decorrelates in one vectorized reshape pass."""
+    The batch may span MANY independent streams (the FLAC-fleet path,
+    stream/flac_fleet.py): subframes are fully independent lanes, so the whole
+    fleet restores in ONE dispatch. Routing: Pallas kernel on TPU (exact for
+    depth <= 24 via int32 limbs; ``depth`` must be the batch MAX) when the
+    batch clears ``CONFIG.flac_device_restore_min`` or ``device=True``; else
+    the native C++ in-place restore; else the numpy batch fallback."""
     S = len(sub["order"])
     if S == 0:
-        return np.zeros((channels, 0), np.int64)
+        return np.zeros(0, np.int64)
     offs = np.concatenate([[0], np.cumsum(sub["block"])])
     from ..native import flacbits as _nb
 
@@ -400,8 +403,10 @@ def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, 
     from ..config import CONFIG
 
     T_max = int(sub["block"].max())
-    if (jax.default_backend() == "tpu" and depth <= 24
-            and S * T_max >= CONFIG.flac_device_restore_min):
+    if device is None:
+        device = (jax.default_backend() == "tpu"
+                  and S * T_max >= CONFIG.flac_device_restore_min)
+    if device and depth <= 24:
         # lane-batched Pallas restore (kernels/flac_pallas.py): exact for
         # depth <= 24 via int32 limb arithmetic; 32-bit streams stay on the
         # int64 host path
@@ -414,21 +419,38 @@ def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, 
             vals, sub["order"], sub["shift"], sub["block"], coefs)).astype(np.int64)
         restored <<= sub["wasted"][:, None]
         keep = np.arange(T_max)[None, :] < sub["block"][:, None]
-        restored_flat = restored[keep]
-    elif _nb.available():
-        restored_flat = _nb.restore_lpc_flat(
+        return restored[keep]
+    if _nb.available():
+        return _nb.restore_lpc_flat(
             values_flat, offs[:-1], sub["block"], sub["order"], sub["shift"],
             sub["wasted"], coefs)
-    else:
-        T = int(sub["block"].max())
-        vals = np.zeros((S, T), np.int64)
-        for i in range(S):
-            vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
-        restored = restore_lpc_batch(vals, coefs, sub["shift"], sub["order"])
-        restored <<= sub["wasted"][:, None]
-        restored_flat = np.concatenate(
-            [restored[i, : sub["block"][i]] for i in range(S)]
-        ) if S else np.zeros(0, np.int64)
+    vals = np.zeros((S, T_max), np.int64)
+    for i in range(S):
+        vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
+    restored = restore_lpc_batch(vals, coefs, sub["shift"], sub["order"])
+    restored <<= sub["wasted"][:, None]
+    return np.concatenate([restored[i, : sub["block"][i]] for i in range(S)])
+
+
+def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, depth: int):
+    """Batched LPC restore across all subframes, then per-frame stereo
+    decorrelation + sign wrap. Returns int64[C, N] raw samples."""
+    S = len(sub["order"])
+    if S == 0:
+        return np.zeros((channels, 0), np.int64)
+    restored_flat = restore_flat(sub, coefs, values_flat, depth)
+    return decorrelate_frames(frame_meta, sub["block"], restored_flat, channels, depth)
+
+
+def decorrelate_frames(frame_meta, blocks, restored_flat, channels: int, depth: int):
+    """Per-frame stereo decorrelation + sign wrap over restored samples.
+    ``blocks`` is the per-subframe block-length array (parser order); returns
+    int64[C, N]. The typical uniform file (constant block size + one stereo
+    mode, short final frame at most) decorrelates in one vectorized reshape
+    pass."""
+    if len(frame_meta) == 0:
+        return np.zeros((channels, 0), np.int64)
+    offs = np.concatenate([[0], np.cumsum(blocks)])
     half = 1 << (depth - 1)
     full = 1 << depth
     fbs = frame_meta[:, 0].astype(np.int64)

@@ -44,7 +44,10 @@ def _build() -> str | None:
         return _SO
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO, _SRC],
+            # -ffp-contract=off: the DSP twins promise the numpy oracle's
+            # exact per-op IEEE rounding; FMA contraction would fuse mul+add
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+             "-fPIC", "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=120,
         )
         return _SO
@@ -108,6 +111,20 @@ def _load():
         lib.qoa_lms.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.block_resample_rows.restype = None
+        lib.block_resample_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.iir_scan_rows.restype = None
+        lib.iir_scan_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_double,
             ctypes.c_int64, ctypes.c_int64,
         ]
         _lib = lib
@@ -289,6 +306,54 @@ def qoa_lms(dequantized: np.ndarray, history: np.ndarray, weights: np.ndarray):
     lib.qoa_lms(dq.ctypes.data_as(p), out.ctypes.data_as(p),
                 hist.ctypes.data_as(p), wts.ctypes.data_as(p), L, T)
     return out, hist, wts
+
+
+def block_resample_rows(ext: np.ndarray, ffx: np.ndarray, frac: np.ndarray,
+                        exact: np.ndarray, out_len: int, mode: str,
+                        interp_clamp) -> np.ndarray:
+    """Row-batched block resample ("none"/"linear") — bit-identical f64 order
+    to the numpy path in stream/engine.py::lua_block_resample. ``ext`` is
+    [..., n_ext] (any leading dims); returns [..., out_len]."""
+    lib = _load()
+    assert lib is not None
+    ext = np.ascontiguousarray(ext, np.float64)
+    n_ext = ext.shape[-1]
+    R = ext.size // n_ext if n_ext else 0
+    ffx = np.ascontiguousarray(ffx, np.int64)
+    frac = np.ascontiguousarray(frac, np.float64)
+    exact_u8 = np.ascontiguousarray(exact, np.uint8)
+    out = np.empty(ext.shape[:-1] + (out_len,), np.float64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    lib.block_resample_rows(
+        ext.ctypes.data_as(dp), R, n_ext,
+        ffx.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        frac.ctypes.data_as(dp),
+        exact_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_len,
+        0 if mode == "none" else 1,
+        0 if interp_clamp is None else 1,
+        float(interp_clamp[0]) if interp_clamp else 0.0,
+        float(interp_clamp[1]) if interp_clamp else 0.0,
+        out.ctypes.data_as(dp))
+    return out
+
+
+def iir_scan_rows(x: np.ndarray, alpha: float, state: np.ndarray):
+    """Row-batched recursive-doubling IIR — bit-identical to
+    stream/engine.py::iir_lowpass_scan's numpy math. ``x`` is [..., T] with
+    ``state`` shaped like x[..., 0]. Returns (y, final_state)."""
+    lib = _load()
+    assert lib is not None
+    T = x.shape[-1]
+    y = np.ascontiguousarray(x, np.float64).copy() if not (
+        isinstance(x, np.ndarray) and x.flags.c_contiguous and x.dtype == np.float64
+    ) else x.copy()
+    st = np.ascontiguousarray(state, np.float64).reshape(-1).copy()
+    R = y.size // T
+    dp = ctypes.POINTER(ctypes.c_double)
+    fs = np.empty(R, np.float64)
+    lib.iir_scan_rows(y.ctypes.data_as(dp), st.ctypes.data_as(dp),
+                      fs.ctypes.data_as(dp), float(alpha), R, T)
+    return y, fs.reshape(np.shape(state)).copy()
 
 
 def restore_lpc_flat(flat: np.ndarray, offsets: np.ndarray, blocks: np.ndarray,

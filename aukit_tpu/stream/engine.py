@@ -93,7 +93,15 @@ def iir_lowpass_scan(x: np.ndarray, alpha: float, state: np.ndarray):
     with initial state, evaluated by recursive doubling (O(n log n) vector ops,
     no per-sample Python loop). Returns (y, final_state). Used by the FLAC/QOA
     stream paths whose reference lowpass is truly recursive (aukit.lua:3178,
-    3322), unlike stream.pcm's FIR variant."""
+    3322), unlike stream.pcm's FIR variant. ``state`` must be shaped like
+    ``x[..., 0]``. The native twin (flacbits.cpp::iir_scan_rows) replays the
+    identical doubling pass order — bit-equal, in-place, no per-pass
+    temporaries (the FLAC-fleet DSP hot path)."""
+    from ..native import flacbits as _nb
+
+    if _nb.available() and np.ndim(x) >= 1 and x.shape[-1] > 0 \
+            and np.shape(state) == np.shape(x)[:-1]:
+        return _nb.iir_scan_rows(np.asarray(x, np.float64), alpha, state)
     c = 1.0 - alpha
     b = x * alpha
     b[..., 0] += c * state
@@ -151,6 +159,16 @@ def lua_block_resample(
     ffx = ffx0 + H  # position of Lua d[floor(x)] within ext
     lo = H - hist_valid
     hi = ext.shape[-1] - 1
+
+    if mode in ("none", "linear"):
+        from ..native import flacbits as _nb
+
+        if _nb.available():
+            # fused native gather+lerp over rows (bit-identical f64 order;
+            # the batched FLAC-fleet resample path)
+            return _nb.block_resample_rows(
+                np.asarray(ext, np.float64), ffx, frac, exact, out_len, mode,
+                interp_clamp)
 
     def take(idx):
         return np.take(ext, np.clip(idx, 0, hi), axis=-1)

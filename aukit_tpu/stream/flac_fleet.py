@@ -1,0 +1,393 @@
+"""Batched FLAC fleet: N concurrent FLAC streams, ONE lane-batched LPC-restore
+dispatch per step (SURVEY.md §2.4 "batch parallelism across streams" — the
+north-star axis — applied to the reference's flagship network-streaming case,
+``aukit.stream.flac``, aukit.lua:3115-3191).
+
+Where ``stream.flac`` decodes one stream through one iterator, the fleet packs
+many independent drip-fed FLAC streams into fixed lanes and composes the
+existing pieces per step:
+
+ 1. **host parse, per lane**: the incremental frame walk (native C++
+    ``flac_parse`` with ``end_pos``, else the Python BitReader) commits frames
+    as soon as their bytes — including the CRC16 footer — have arrived; only
+    the undecoded tail stays buffered (aukit.lua:3128-3144 lazy-source
+    semantics, same stall bound as stream.flac);
+ 2. **one batched LPC restore**: every committed subframe of every lane joins
+    a single flat batch — subframes are fully independent recurrence lanes, so
+    the WHOLE fleet restores in one dispatch (``codecs.flac.restore_flat``:
+    the [32,128]-tiled int32-limb Pallas kernel on TPU, the C++ in-place
+    restore elsewhere);
+ 3. **vectorized DSP, batched across lanes**: per-frame-block resample with
+    2-sample history (``lua_block_resample`` over stacked [pairs, C, 2+n]
+    extents) and the true recursive lowpass (``iir_lowpass_scan``), evaluated
+    in "rounds" (every lane's r-th block together) so each lane's IIR state
+    chains exactly as stream.flac's does. Both kernels are elementwise over
+    the leading axis, so per-lane outputs are BIT-IDENTICAL to a solo
+    ``stream.flac(data, mono=True)`` run (tests/test_flac_fleet.py asserts
+    equality, not closeness).
+
+Output contract: ``step()`` emits ``float32[L, output_rate]`` one-second
+windows of int8-range samples (stream.flac's scale) with a per-lane
+real-audio mask — lanes progress raggedly (variable frame sizes, jittery
+feeds), so a starved lane is masked, never stalls the batch, and never gets
+silence spliced into its timeline (§5.3). Per-lane checkpoints capture
+(byte offset, pending tail, resampler history, lowpass state, FIFO remnant) —
+restore + re-feed from ``byte_offset + len(pending)`` resumes bit-exactly
+(§5.4; FLAC seek coarse-positioning lives in stream/seek.py).
+"""
+
+from __future__ import annotations
+
+import collections
+import math
+import struct
+import time
+
+import numpy as np
+
+from ..codecs import flac as flac_codec
+from ..config import CONFIG, get_interpolation
+from .batch import BatchMetrics
+from .engine import iir_lowpass_scan, lua_block_resample
+
+__all__ = ["FlacFleet"]
+
+_PULL_STALL_LIMIT = 8 << 20  # bytes of undecodable buffer before a lane ends
+
+
+class _Lane:
+    __slots__ = (
+        "buf", "eof", "dirty", "ended", "error", "consumed", "pos",
+        "rate", "channels", "depth", "num_samples", "meta", "alpha",
+        "last", "ls", "fifo", "fill", "samples_out", "stalled_at",
+    )
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.eof = False
+        self.dirty = False
+        self.ended = False  # no more frames will ever decode
+        self.error: str | None = None
+        self.consumed = 0  # committed stream bytes (deleted from buf)
+        self.pos = 0  # parse offset within buf (fpos until first commit)
+        self.rate = None  # header not yet parsed
+        self.channels = 0
+        self.depth = 0
+        self.num_samples = 0
+        self.meta: dict = {}
+        self.alpha = 0.0
+        self.last: np.ndarray | None = None  # [C, 2] f64 resample history
+        self.ls: np.ndarray | None = None  # [C] f64 lowpass state
+        self.fifo: collections.deque[np.ndarray] = collections.deque()
+        self.fill = 0
+        self.samples_out = 0
+        self.stalled_at: int | None = None
+
+
+class FlacFleet:
+    """Fixed-lane batched FLAC -> 48 kHz decoder (see module docstring).
+
+    Parameters
+    ----------
+    lanes : number of concurrent streams
+    device_restore : route the batched LPC restore to the Pallas TPU kernel
+        (True), the host C++/numpy path (False), or the CONFIG-driven default
+        (None — ``flac_device_restore_min`` threshold on TPU backends)
+
+    Each lane carries its own format (rate/channels/depth parsed from its own
+    ``fLaC`` header), so a fleet may mix files freely; malformed lanes are
+    poisoned individually (``lane_error``) and never affect the batch.
+    """
+
+    def __init__(self, lanes: int, device_restore: bool | None = None):
+        if lanes < 1:
+            raise ValueError("need at least one lane")
+        self.lanes = lanes
+        self.device_restore = device_restore
+        self.mode = get_interpolation(None)
+        self.out_rate = CONFIG.output_rate
+        self._lanes = [_Lane() for _ in range(lanes)]
+        self.metrics = BatchMetrics()
+
+    # -- ingestion -----------------------------------------------------------
+    def feed(self, lane: int, data: bytes | None):
+        """Append bytes to a lane; None marks end-of-stream."""
+        ln = self._lanes[lane]
+        if data is None:
+            ln.eof = True
+        else:
+            ln.buf.extend(data)
+        ln.dirty = True
+
+    def feed_many(self, datas):
+        for lane, d in enumerate(datas):
+            self.feed(lane, d)
+
+    # -- queries ---------------------------------------------------------------
+    @property
+    def done(self) -> bool:
+        return all(ln.ended and ln.fill == 0 for ln in self._lanes)
+
+    @property
+    def active(self) -> np.ndarray:
+        return np.array([not ln.ended or ln.fill > 0 for ln in self._lanes])
+
+    def lane_error(self, lane: int) -> str | None:
+        """Poison reason for an ended lane (None = healthy); §5.3 isolation."""
+        return self._lanes[lane].error
+
+    def lane_info(self, lane: int) -> dict | None:
+        """(rate, channels, depth, length_seconds, metadata) once the lane's
+        header has parsed; None before."""
+        ln = self._lanes[lane]
+        if ln.rate is None:
+            return None
+        return {
+            "sampleRate": ln.rate, "channels": ln.channels,
+            "bitDepth": ln.depth, "metadata": ln.meta,
+            "length": ln.num_samples / ln.rate if ln.num_samples else None,
+        }
+
+    # -- per-step phases --------------------------------------------------------
+    def _parse_header(self, ln: _Lane) -> bool:
+        try:
+            (ln.rate, ln.channels, ln.depth, ln.num_samples, ln.meta,
+             ln.pos) = flac_codec.parse_flac_header(bytes(ln.buf))
+        except (IndexError, struct.error):
+            ln.rate = None
+            if ln.eof:  # stream.flac raises here; a fleet lane is poisoned
+                ln.ended, ln.error = True, "unexpected end of FLAC stream"
+            return False
+        except flac_codec.FlacError as e:
+            ln.ended, ln.error = True, str(e)
+            return False
+        ln.alpha = 1.0 - math.exp(-(ln.rate / (self.out_rate * 2)) * 2.0 * math.pi)
+        ln.last = np.zeros((ln.channels, 2), np.float64)
+        ln.ls = np.zeros(ln.channels, np.float64)
+        return True
+
+    def _parse_step(self):
+        """Incremental frame parse on every dirty lane. Returns
+        [(lane_idx, frame_meta, sub, coefs, values), ...] for lanes that
+        committed frames this step (stream.flac frames() semantics,
+        aukit.lua:3145-3151 + CRC-gated commits)."""
+        parsed = []
+        for li, ln in enumerate(self._lanes):
+            if ln.ended or not ln.dirty:
+                continue
+            if ln.rate is None and not self._parse_header(ln):
+                ln.dirty = False
+                continue
+            data_now = bytes(ln.buf)
+            if ln.eof:
+                # final pass: commit the tail frame even without CRC16 bytes
+                fm, sub, coefs, values = flac_codec.parse_all_frames(
+                    data_now, ln.pos, ln.channels, ln.depth, strict=False)
+                end = len(data_now)
+                ln.ended = True
+            else:
+                fm, sub, coefs, values, end = flac_codec.parse_all_frames(
+                    data_now, ln.pos, ln.channels, ln.depth,
+                    strict=False, incremental=True)
+            ln.dirty = False
+            if len(fm):
+                del ln.buf[:end]
+                ln.consumed += end
+                ln.pos = 0
+                ln.stalled_at = None
+                parsed.append((li, fm, sub, coefs, values))
+            elif not ln.ended:
+                if ln.stalled_at is None:
+                    ln.stalled_at = len(ln.buf)
+                elif len(ln.buf) - ln.stalled_at > _PULL_STALL_LIMIT:
+                    ln.ended, ln.error = True, "undecodable FLAC stream"
+        return parsed
+
+    def _decode_step(self, parsed):
+        """One fleet-wide LPC restore, then per-lane decorrelate + batched
+        rounds of resample/lowpass; scaled output lands in the lane FIFOs."""
+        sub_all = {k: np.concatenate([p[2][k] for p in parsed])
+                   for k in ("order", "shift", "wasted", "block")}
+        coefs_all = np.concatenate([p[3] for p in parsed])
+        values_all = np.concatenate([p[4] for p in parsed])
+        depth_max = max(self._lanes[p[0]].depth for p in parsed)
+        restored = flac_codec.restore_flat(
+            sub_all, coefs_all, values_all, depth_max, device=self.device_restore)
+        voffs = np.concatenate(
+            [[0], np.cumsum([int(p[2]["block"].sum()) for p in parsed])])
+
+        # per lane: decorrelate + normalize, then per-block resample extents
+        # (history = previous block's tail — decoded data, no sequential dep)
+        jobs: dict[tuple, list] = {}  # (n, rate, C) -> [(li, round, ext), ...]
+        rounds: dict[int, list] = {}  # lane -> [None per block round]
+        for k, (li, fm, sub, _c, _v) in enumerate(parsed):
+            ln = self._lanes[li]
+            raw = flac_codec.decorrelate_frames(
+                fm, sub["block"], restored[voffs[k]:voffs[k + 1]],
+                ln.channels, ln.depth)
+            dec = raw.astype(np.float64) / (1 << ln.depth)
+            sizes = fm[:, 0].astype(np.int64)
+            rounds[li] = [None] * len(sizes)
+            uniform = bool((sizes == sizes[0]).all()) and sizes[0] >= 2
+            if uniform:
+                n = int(sizes[0])
+                padded = np.concatenate([ln.last, dec], axis=1)
+                exts = np.lib.stride_tricks.sliding_window_view(
+                    padded, n + 2, axis=1)[:, ::n].transpose(1, 0, 2)
+                for r in range(len(sizes)):
+                    jobs.setdefault((n, ln.rate, ln.channels), []).append(
+                        (li, r, exts[r]))
+                ln.last = dec[:, -2:].copy()
+            else:
+                hist = ln.last
+                off = 0
+                for r, n in enumerate(map(int, sizes)):
+                    blk = dec[:, off:off + n]
+                    off += n
+                    jobs.setdefault((n, ln.rate, ln.channels), []).append(
+                        (li, r, np.concatenate([hist, blk], axis=1)))
+                    # stream.flac history rule incl. 1-sample blocks
+                    # (aukit.lua:3189 analog, stream/__init__.py flac gen)
+                    hist = (blk[:, -2:] if n >= 2 else
+                            np.concatenate([hist[:, -1:], blk], axis=1)[:, -2:])
+                ln.last = hist.copy()
+
+        # resample every (lane, block) pair, batched per distinct geometry
+        for (n, rate, _C), items in jobs.items():
+            stk = np.stack([ext for _li, _r, ext in items])
+            res = lua_block_resample(stk, 2, n, rate, self.out_rate, self.mode,
+                                     hist=2)
+            for (li, r, _ext), row in zip(items, res):
+                rounds[li][r] = row
+
+        # recursive lowpass in rounds: every lane's r-th block together, so
+        # per-lane state chains block-by-block exactly like stream.flac
+        max_rounds = max(len(v) for v in rounds.values())
+        out_parts: dict[int, list] = {li: [] for li in rounds}
+        for r in range(max_rounds):
+            groups: dict[tuple, list] = {}
+            for li, blocks in rounds.items():
+                if r < len(blocks) and blocks[r].shape[-1]:
+                    ln = self._lanes[li]
+                    groups.setdefault(
+                        (blocks[r].shape, ln.alpha), []).append(li)
+            for (_shape, alpha), lis in groups.items():
+                x = np.stack([rounds[li][r] for li in lis])
+                st = np.stack([self._lanes[li].ls for li in lis])
+                y, fs = iir_lowpass_scan(x, alpha, st)
+                # int8-range scale + mono mean, batched over the whole group
+                # (elementwise -> identical to stream.flac's per-chunk order:
+                # scale in f64, mean in f64, then the f32 cast)
+                scaled = np.clip(y * np.where(y < 0, 128.0, 127.0), -128, 127)
+                if scaled.shape[1] > 1:
+                    scaled = scaled.mean(axis=1)
+                else:
+                    scaled = scaled[:, 0]
+                scaled = scaled.astype(np.float32)
+                for i, li in enumerate(lis):
+                    self._lanes[li].ls = fs[i]
+                    out_parts[li].append(scaled[i])
+
+        for li, parts in out_parts.items():
+            if not parts:
+                continue
+            ln = self._lanes[li]
+            out = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            ln.fifo.append(out)
+            ln.fill += len(out)
+
+    def _pop(self, ln: _Lane, out: np.ndarray) -> int:
+        take = min(ln.fill, len(out))
+        at = 0
+        while at < take:
+            head = ln.fifo[0]
+            m = min(len(head), take - at)
+            out[at:at + m] = head[:m]
+            if m == len(head):
+                ln.fifo.popleft()
+            else:
+                ln.fifo[0] = head[m:]
+            at += m
+        ln.fill -= take
+        return take
+
+    # -- the batched step ---------------------------------------------------------
+    def step(self):
+        """Parse + decode newly fed bytes across all lanes, then emit one-second
+        windows. Returns (window f32[L, output_rate] int8-range samples,
+        mask bool[L], positions f64[L] seconds at window start) or None when no
+        lane can produce a window (starved mid-stream feeds hold their FIFO —
+        audio is never zero-padded into a live lane's timeline)."""
+        if self.done:
+            return None
+        t0 = time.perf_counter()
+        parsed = self._parse_step()
+        if parsed:
+            self._decode_step(parsed)
+        window = np.zeros((self.lanes, self.out_rate), np.float32)
+        mask = np.zeros(self.lanes, bool)
+        positions = np.zeros(self.lanes, np.float64)
+        emitted = 0
+        for li, ln in enumerate(self._lanes):
+            positions[li] = ln.samples_out / self.out_rate
+            if ln.fill >= self.out_rate or (ln.ended and ln.fill > 0):
+                take = self._pop(ln, window[li])
+                ln.samples_out += take
+                mask[li] = True
+                emitted += take
+        self.metrics.steps += 1
+        self.metrics.wall_seconds += time.perf_counter() - t0
+        if not mask.any():
+            self.metrics.underruns += int(not self.done)
+            return None
+        self.metrics.samples_decoded += emitted
+        return window, mask, positions
+
+    # -- checkpoint / resume (SURVEY.md §5.4) --------------------------------------
+    def checkpoint(self, lane: int) -> dict:
+        """Serializable per-stream state. Restore into a fresh lane and feed
+        the source from byte ``byte_offset + len(pending)`` onward to resume
+        bit-exactly (the FIFO remnant rides along, so any step boundary is a
+        valid checkpoint — no window-alignment requirement)."""
+        ln = self._lanes[lane]
+        return {
+            "byte_offset": ln.consumed,
+            "pending": bytes(ln.buf),
+            "pos": ln.pos,
+            "eof": ln.eof,
+            "ended": ln.ended,
+            "header": None if ln.rate is None else
+                (ln.rate, ln.channels, ln.depth, ln.num_samples, dict(ln.meta)),
+            "last": None if ln.last is None else ln.last.copy(),
+            "ls": None if ln.ls is None else ln.ls.copy(),
+            "fifo": np.concatenate(list(ln.fifo)) if ln.fill else
+                np.zeros(0, np.float32),
+            "samples_out": ln.samples_out,
+            "stalled_at": ln.stalled_at,
+        }
+
+    def restore(self, lane: int, ckpt: dict):
+        ln = _Lane()
+        ln.buf = bytearray(ckpt["pending"])
+        ln.pos = ckpt["pos"]
+        ln.consumed = ckpt["byte_offset"]
+        ln.eof = ckpt["eof"]
+        ln.ended = ckpt.get("ended", False)
+        ln.dirty = (len(ln.buf) > 0 or ln.eof) and not ln.ended
+        ln.stalled_at = ckpt.get("stalled_at")
+        if ckpt["header"] is not None:
+            ln.rate, ln.channels, ln.depth, ln.num_samples, ln.meta = ckpt["header"]
+            ln.alpha = 1.0 - math.exp(
+                -(ln.rate / (self.out_rate * 2)) * 2.0 * math.pi)
+            ln.last = np.array(ckpt["last"], np.float64)
+            ln.ls = np.array(ckpt["ls"], np.float64)
+        fifo = np.asarray(ckpt["fifo"], np.float32)
+        if len(fifo):
+            ln.fifo.append(fifo.copy())
+            ln.fill = len(fifo)
+        ln.samples_out = int(ckpt["samples_out"])
+        self._lanes[lane] = ln
+
+    def reset_lane(self, lane: int):
+        """Reuse a finished lane for a new stream."""
+        self._lanes[lane] = _Lane()

@@ -355,6 +355,78 @@ def bench_all():
                           "remote-TPU tunnel (PCIe-attached chips ingest ~3000x "
                           "faster)"})
 
+    # config 7: FLAC fleet (stream/flac_fleet.py): N drip-fed FLAC streams,
+    # ONE batched LPC-restore dispatch per step (VERDICT r2 item 1 — the
+    # reference's flagship network case, aukit.lua:3115-3191, batched)
+    from aukit_tpu.stream.flac_fleet import FlacFleet
+
+    fl_lanes = 96 if backend == "tpu" else 128
+    nfr = 20 * 48000 // n  # ~20 s per lane of the config-4 LPC frame
+    fl_data = fixtures.flac_stream_header(48000, 1, 16, nfr * n) + one * nfr
+    warm = FlacFleet(fl_lanes)  # warm the resample plans + parser
+    warm.feed_many([fl_data[: 1 << 16]] * fl_lanes)
+    warm.step()
+    fleet = FlacFleet(fl_lanes)
+    drip = 1 << 17  # ~1.4 s of FLAC bytes per lane per step
+    offs = 0
+    t0 = time.time()
+    while not fleet.done:
+        if offs < len(fl_data):
+            chunk_b = fl_data[offs: offs + drip]
+            for i in range(fl_lanes):
+                fleet.feed(i, chunk_b)
+            offs += drip
+            if offs >= len(fl_data):
+                for i in range(fl_lanes):
+                    fleet.feed(i, None)
+        fleet.step()
+    dt = time.time() - t0
+    lines.append({"metric": "flac_fleet_realtime",
+                  "value": round(fleet.metrics.samples_decoded / dt / 48000, 1),
+                  "unit": "x_realtime", "vs_baseline": None,
+                  "note": f"{fl_lanes} drip-fed 48k/16-bit LPC-8 streams; "
+                          "end-to-end incl. incremental parse, batched restore, "
+                          "resample/lowpass DSP and windowing; restore runs on "
+                          "host C++ by default here (remote-tunnel routing) — "
+                          "device_restore=True offloads it to the Pallas kernel "
+                          "on locally-attached chips"})
+
+    # config 8: staging microbench (VERDICT r2 item 8): column-view chunk
+    # assembly with NO device transfer, then the transfer alone — separates
+    # host staging cost from the tunnel/PCIe so the engine numbers above can
+    # be projected onto locally-attached hardware.
+    Ls, Bs, steps_s = 2048, 6000, 16
+    se = BatchDfpwmDecoder(Ls, 48000, chunk_bytes=Bs)
+    bulk = rng.integers(0, 256, (Ls, Bs * steps_s), dtype=np.uint8)
+    se.feed_array(bulk)
+    g0 = se.groups[0]
+    t0 = time.time()
+    tot = 0
+    while True:
+        st = g0.io.stage()
+        if st is None:
+            break
+        tot += st[0].shape[0] * st[0].shape[1]
+    dt = time.time() - t0
+    lines.append({"metric": "engine_staging_bytes_per_sec",
+                  "value": round(tot / dt / 1e9, 2), "unit": "GB_per_sec",
+                  "vs_baseline": None,
+                  "note": "host-side bulk staging only (column views of the "
+                          "fed array); no device transfer"})
+    put_l = 512  # 3 MB per put: sized for this environment's tunnel
+    jax.block_until_ready(jnp.asarray(np.ascontiguousarray(bulk[:put_l, :Bs])))
+    t0 = time.time()
+    k = 2
+    for i in range(k):
+        jax.block_until_ready(jnp.asarray(bulk[:put_l, i * Bs:(i + 1) * Bs]))
+    dt = time.time() - t0
+    lines.append({"metric": f"engine_device_put_bytes_per_sec_{backend}",
+                  "value": round(put_l * Bs * k / dt / 1e6, 2),
+                  "unit": "MB_per_sec", "vs_baseline": None,
+                  "note": "host->device transfer of staged chunks (incl. the "
+                          "contiguity copy); tunnel-bound in this environment "
+                          "— PCIe-attached chips sustain GB/s here"})
+
     # config 5: auconvert-style effects chain, batched multi-stream (device)
     import aukit_tpu.effects as fx
 

@@ -860,3 +860,71 @@ void chunk_dsp(const double* ext, int64_t C, int64_t n_ext, const int64_t* ffx,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Per-block Lua-style resample over independent rows (the batched FLAC-fleet
+// DSP hot path, stream/flac_fleet.py; also the single-stream flac/qoa block
+// resample): gather + lerp on rows of ext[R, n_ext], float64 ops split into
+// single-rounding statements in the numpy oracle's exact order
+// (stream/engine.py::lua_block_resample; bit-identical for the "none" and
+// "linear" modes — cubic/sinc stay on the numpy path). ffx is pre-offset by
+// the history width like the numpy caller's `ffx0 + H`.
+void block_resample_rows(const double* ext, int64_t R, int64_t n_ext,
+                         const int64_t* ffx, const double* frac,
+                         const uint8_t* exact, int64_t out_len, int32_t mode,
+                         int32_t clamp, double clo, double chi, double* out) {
+    int64_t hi = n_ext - 1;
+    for (int64_t r = 0; r < R; r++) {
+        const double* e = ext + r * n_ext;
+        double* o = out + r * out_len;
+        for (int64_t i = 0; i < out_len; i++) {
+            int64_t f = ffx[i];
+            int64_t f1 = f < 0 ? 0 : (f > hi ? hi : f);
+            double p1 = e[f1];
+            if (mode == 0 || exact[i]) {
+                o[i] = p1;
+                continue;
+            }
+            int64_t f2 = f + 1 <= hi ? f + 1 : f;  // numpy: where(ffx+1<=hi, ffx+1, ffx)
+            f2 = f2 < 0 ? 0 : (f2 > hi ? hi : f2);
+            double p2 = e[f2];
+            double d = p2 - p1;   // separate statements: one IEEE rounding per
+            double m = d * frac[i];  // op, immune to compiler FMA contraction
+            double v = p1 + m;
+            if (clamp) v = v < clo ? clo : (v > chi ? chi : v);
+            o[i] = v;
+        }
+    }
+}
+
+// First-order IIR y_i = y_{i-1} + alpha*(x_i - y_{i-1}) over rows of y[R, T]
+// with initial state[R] — evaluated by RECURSIVE DOUBLING in the numpy
+// oracle's exact pass order and rounding (stream/engine.py::iir_lowpass_scan;
+// the descending inner loop reads pre-pass values exactly like numpy's
+// out-of-place `y[shift:] += ck * y[:-shift]`). In place; final per-row state
+// lands in state_out (may alias state).
+void iir_scan_rows(double* y, const double* state, double* state_out,
+                   double alpha, int64_t R, int64_t T) {
+    double c = 1.0 - alpha;
+    for (int64_t r = 0; r < R; r++) {
+        double* yr = y + r * T;
+        for (int64_t i = 0; i < T; i++) {
+            double t = yr[i] * alpha;
+            yr[i] = t;
+        }
+        double t0 = c * state[r];
+        yr[0] = yr[0] + t0;
+        double ck = c;
+        for (int64_t shift = 1; shift < T; shift <<= 1) {
+            for (int64_t i = T - 1; i >= shift; i--) {
+                double t = ck * yr[i - shift];
+                yr[i] = yr[i] + t;
+            }
+            ck = ck * ck;
+        }
+        state_out[r] = yr[T - 1];
+    }
+}
+
+}  // extern "C"

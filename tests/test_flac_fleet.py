@@ -1,0 +1,313 @@
+"""FLAC fleet engine: N-stream batched decode (stream/flac_fleet.py).
+
+The contract under test is BIT-equality: each lane's concatenated unmasked
+window samples equal a solo ``stream.flac(data, mono=True)`` run over the same
+bytes (reference semantics aukit.lua:3115-3191), regardless of drip size,
+fleet composition, or checkpoint/restore cuts.
+"""
+
+import numpy as np
+import pytest
+
+from aukit_tpu import stream as st
+from aukit_tpu.stream.flac_fleet import FlacFleet
+from tests import fixtures
+
+RNG = np.random.default_rng(19)
+
+
+def make_flac(rate, nframes, n=1024, channels=1, chan_asgn=0, seed=0,
+              depth=16, final_short=0, comments=None):
+    """Synthesize a valid FLAC stream mixing LPC/fixed/verbatim/constant
+    subframes (fixtures write real Rice residuals + CRC8)."""
+    r = np.random.default_rng(seed)
+
+    def subframe(kind, bs):
+        # predictive subframes derive residuals from a bounded target signal,
+        # so restored samples stay in depth range like real encoder output
+        # (the int64 host path and the int32-limb Pallas path agree only
+        # inside the depth <= 24 exactness domain, kernels/flac_pallas.py)
+        s = r.integers(-3000, 3000, bs).astype(np.int64)
+        if kind == 0:
+            order, coefs, shift = 3, [700, -300, 100], 4
+            res = [int(s[i]) - (int(np.dot(s[i - order:i][::-1], coefs)) >> shift)
+                   for i in range(order, bs)]
+            return {"type": "lpc", "order": order,
+                    "warmup": [int(v) for v in s[:order]],
+                    "precision": 12, "shift": shift, "coefs": coefs,
+                    "residuals": res}
+        if kind == 1:
+            res = [int(s[i]) - (2 * int(s[i - 1]) - int(s[i - 2]))
+                   for i in range(2, bs)]
+            return {"type": "fixed", "order": 2,
+                    "warmup": [int(s[0]), int(s[1])], "residuals": res}
+        if kind == 2:
+            return {"type": "verbatim", "values": list(s)}
+        return {"type": "constant", "value": int(r.integers(-100, 100))}
+
+    nsubs = channels if chan_asgn <= 7 else 2
+    total = nframes * n + final_short
+    frames = []
+    for k in range(nframes):
+        frames.append(fixtures.flac_frame(
+            [subframe((k + c) % 4, n) for c in range(nsubs)],
+            n, chan_asgn, depth, frame_number=k))
+    if final_short:
+        frames.append(fixtures.flac_frame(
+            [subframe(2, final_short) for _ in range(nsubs)],
+            final_short, chan_asgn, depth, frame_number=nframes))
+    hdr = fixtures.flac_stream_header(rate, channels, depth, total,
+                                      comments=comments)
+    return hdr + b"".join(frames)
+
+
+def solo_reference(data):
+    it, _total = st.flac(data, mono=True)
+    chunks = [c for c, _p in it]
+    return np.concatenate(chunks, axis=1)[0]
+
+
+def run_fleet(datas, chunk=4096, fleet=None):
+    """Drip-feed ``chunk`` bytes per lane per step; collect per-lane samples."""
+    fleet = fleet or FlacFleet(len(datas))
+    outs = [[] for _ in datas]
+    offs = [0] * len(datas)
+    eof = [False] * len(datas)
+    guard = 0
+    while not fleet.done:
+        for i, d in enumerate(datas):
+            if offs[i] < len(d):
+                fleet.feed(i, d[offs[i]: offs[i] + chunk])
+                offs[i] += chunk
+            elif not eof[i]:
+                fleet.feed(i, None)
+                eof[i] = True
+        r = fleet.step()
+        guard += 1
+        assert guard < 10_000
+        if r is None:
+            continue
+        w, m, _pos = r
+        for i in range(len(datas)):
+            if m[i]:
+                outs[i].append(w[i])
+    return [np.concatenate(o) if o else np.zeros(0, np.float32) for o in outs], fleet
+
+
+def assert_lane_equals_solo(got, data):
+    exp = solo_reference(data)
+    assert len(got) >= len(exp)
+    np.testing.assert_array_equal(got[: len(exp)], exp)
+    assert not got[len(exp):].any()  # final window zero-pad only
+
+
+def test_fleet_bit_equality_mixed_formats():
+    """Mixed rates, mono/stereo, all four subframe types, every stereo
+    decorrelation mode, wasted bits via short final frames — each lane equals
+    its solo stream.flac run bit-for-bit."""
+    datas = [
+        make_flac(32000, 12, seed=1),
+        make_flac(44100, 10, seed=2, final_short=100),
+        make_flac(48000, 8, channels=2, chan_asgn=0, seed=3),
+        make_flac(24000, 9, channels=2, chan_asgn=8, seed=4),   # left/side
+        make_flac(22050, 9, channels=2, chan_asgn=9, seed=5),   # side/right
+        make_flac(48000, 9, channels=2, chan_asgn=10, seed=6),  # mid/side
+    ]
+    outs, fleet = run_fleet(datas)
+    for got, data in zip(outs, datas):
+        assert_lane_equals_solo(got, data)
+    assert fleet.done
+    # metrics count REAL samples (window zero-pad excluded)
+    assert fleet.metrics.samples_decoded == sum(
+        len(solo_reference(d)) for d in datas)
+
+
+def test_fleet_drip_size_invariance():
+    """Identical outputs whether fed in 512-byte dribbles or whole files."""
+    datas = [make_flac(32000, 10, seed=7), make_flac(48000, 6, seed=8)]
+    small, _ = run_fleet(datas, chunk=512)
+    big, _ = run_fleet(datas, chunk=1 << 24)
+    for a, b in zip(small, big):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fleet_one_restore_dispatch_spans_lanes(monkeypatch):
+    """The batched LPC restore is ONE call per step covering every lane's
+    subframes (the north-star batching axis, SURVEY.md §2.4)."""
+    from aukit_tpu.codecs import flac as flac_codec
+
+    calls = []
+    real = flac_codec.restore_flat
+
+    def spy(sub, coefs, values, depth, device=None):
+        calls.append(len(sub["order"]))
+        return real(sub, coefs, values, depth, device=device)
+
+    monkeypatch.setattr(flac_codec, "restore_flat", spy)
+    datas = [make_flac(48000, 6, seed=i) for i in range(5)]
+    fleet = FlacFleet(5)
+    for i, d in enumerate(datas):
+        fleet.feed(i, d)
+        fleet.feed(i, None)
+    fleet.step()
+    assert len(calls) == 1
+    assert calls[0] == 5 * 6  # every lane's subframes in one batch
+
+
+def test_fleet_lane_poison_isolation():
+    """A bad-magic lane and a mid-stream-garbage lane end individually; the
+    healthy lane still decodes bit-exactly (SURVEY.md §5.3)."""
+    good = make_flac(48000, 8, seed=9)
+    bad_magic = b"OggS" + bytes(RNG.integers(0, 256, 4000, dtype=np.uint8))
+    valid_then_garbage = make_flac(32000, 4, seed=10) + b"\xde\xad" * 3000
+    fleet = FlacFleet(3)
+    outs, fleet = run_fleet([good, bad_magic, valid_then_garbage], fleet=fleet)
+    assert_lane_equals_solo(outs[0], good)
+    assert fleet.lane_error(1) is not None
+    assert len(outs[1]) == 0
+    # lane 2: the 4 valid frames decode (garbage ends the lane at EOF parse)
+    assert_lane_equals_solo(outs[2], valid_then_garbage)
+    assert fleet.lane_error(0) is None
+
+
+def test_fleet_starved_lane_masked_not_stalled():
+    """An unfed lane masks out; once fed later its timeline has no spliced
+    silence — output still equals the solo run."""
+    a = make_flac(48000, 20, seed=11)
+    b = make_flac(48000, 20, seed=12)
+    fleet = FlacFleet(2)
+    fleet.feed(0, a)
+    fleet.feed(0, None)
+    outs_a = []
+    got_mask_b_false = False
+    for _ in range(30):
+        r = fleet.step()
+        if r is None:
+            break
+        w, m, _ = r
+        if m[0]:
+            outs_a.append(w[0])
+        if not m[1]:
+            got_mask_b_false = True
+        assert m[1] == False  # noqa: E712 - lane 1 never fed yet
+    assert got_mask_b_false and outs_a
+    fleet.feed(1, b)
+    fleet.feed(1, None)
+    outs_b = []
+    while not fleet.done:
+        r = fleet.step()
+        if r is None:
+            break
+        w, m, _ = r
+        if m[0]:
+            outs_a.append(w[0])
+        if m[1]:
+            outs_b.append(w[1])
+    assert_lane_equals_solo(np.concatenate(outs_a), a)
+    assert_lane_equals_solo(np.concatenate(outs_b), b)
+
+
+def test_fleet_checkpoint_restore_bit_exact():
+    """Checkpoint mid-stream (any step boundary — the FIFO remnant rides
+    along), restore into a FRESH fleet, feed the remaining bytes: continued
+    output equals the uninterrupted run exactly (SURVEY.md §5.4)."""
+    data = make_flac(44100, 30, seed=13)
+    full, _ = run_fleet([data], chunk=3000)
+
+    fleet = FlacFleet(2)
+    cut = len(data) // 2
+    fleet.feed(0, data[:cut])
+    parts = []
+    for _ in range(3):
+        r = fleet.step()
+        if r is None:
+            break
+        w, m, _ = r
+        if m[0]:
+            parts.append(w[0])
+    ck = fleet.checkpoint(0)
+    resumed_from = ck["byte_offset"] + len(ck["pending"])
+    assert resumed_from == cut
+
+    fleet2 = FlacFleet(1)
+    fleet2.restore(0, ck)
+    fleet2.feed(0, data[cut:])
+    fleet2.feed(0, None)
+    while True:
+        r = fleet2.step()
+        if r is None:
+            if fleet2.done:
+                break
+            continue
+        w, m, _ = r
+        if m[0]:
+            parts.append(w[0])
+    got = np.concatenate(parts)
+    np.testing.assert_array_equal(got, full[0])
+
+
+def test_fleet_positions_and_info():
+    data = make_flac(48000, 50, seed=14, comments={"TITLE": "x"})
+    fleet = FlacFleet(1)
+    fleet.feed(0, data)
+    fleet.feed(0, None)
+    seen = []
+    while not fleet.done:
+        r = fleet.step()
+        if r is None:
+            break
+        _w, m, pos = r
+        if m[0]:
+            seen.append(pos[0])
+    assert seen == [i * 1.0 for i in range(len(seen))]  # window starts
+    info = fleet.lane_info(0)
+    assert info["sampleRate"] == 48000 and info["bitDepth"] == 16
+    assert info["metadata"]["title"] == "x"
+    assert info["length"] == 50 * 1024 / 48000
+
+
+def test_fleet_reset_lane_reuse():
+    a = make_flac(48000, 6, seed=15)
+    b = make_flac(32000, 6, seed=16)
+    fleet = FlacFleet(1)
+    outs, fleet = run_fleet([a], fleet=fleet)
+    assert_lane_equals_solo(outs[0], a)
+    fleet.reset_lane(0)
+    outs2, fleet = run_fleet([b], fleet=fleet)
+    assert_lane_equals_solo(outs2[0], b)
+
+
+def test_fleet_device_restore_route_bit_exact(monkeypatch):
+    """The fleet with ``device_restore=True`` routes the whole batch through
+    the Pallas LPC kernel (interpret mode on CPU; compiled on TPU) and stays
+    bit-identical to the host-restore run."""
+    import functools
+
+    import jax
+
+    from aukit_tpu.kernels import flac_pallas as fp
+
+    if jax.default_backend() != "tpu":
+        monkeypatch.setattr(
+            fp, "lpc_restore_pallas",
+            functools.partial(fp.lpc_restore_pallas, interpret=True))
+    datas = [make_flac(48000, 6, seed=i, channels=2, chan_asgn=10)
+             for i in range(3)]
+    host, _ = run_fleet(datas, fleet=FlacFleet(3, device_restore=False))
+    dev, _ = run_fleet(datas, fleet=FlacFleet(3, device_restore=True))
+    for a, b in zip(host, dev):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fleet_tiny_blocks_nonuniform_history():
+    """Block sizes below the 2-sample history (n=1) exercise the reference's
+    short-block history splice (stream/__init__.py flac gen last-update)."""
+    r = np.random.default_rng(17)
+    frames = []
+    for k, n in enumerate([192, 1, 1, 192, 64]):
+        frames.append(fixtures.flac_frame(
+            [{"type": "verbatim", "values": list(r.integers(-2000, 2000, n))}],
+            n, 0, 16, frame_number=k))
+    data = fixtures.flac_stream_header(8000, 1, 16, 192 * 2 + 64 + 2) + b"".join(frames)
+    outs, _ = run_fleet([data], chunk=100)
+    assert_lane_equals_solo(outs[0], data)
