@@ -232,6 +232,15 @@ def main(argv=None):
 
     args = list(sys.argv[1:] if argv is None else argv)
     inputs, outputs, maps = [], [], {}
+
+    def cur(lst, flag, what):
+        # per-file flags bind to the LAST -i/-o (reference positional
+        # semantics, auconvert.lua:89-110; it errors on a nil index — we
+        # error with a message)
+        if not lst:
+            raise SystemExit(f"{flag} requires a preceding {what}")
+        return lst[-1]
+
     i = 0
     while i < len(args):
         arg, param = args[i], args[i + 1] if i + 1 < len(args) else None
@@ -252,32 +261,32 @@ def main(argv=None):
                 return
             if not hasattr(ak, param):
                 raise SystemExit("Invalid input format")
-            inputs[-1]["format"] = param
+            cur(inputs, arg, "--input")["format"] = param
         elif arg == "--output-format":
             if param == "list":
                 print("List of output formats: dfpwm, pcm, wav")
                 return
-            outputs[-1]["format"] = param
+            cur(outputs, arg, "--output")["format"] = param
         elif arg == "--input-bit-depth":
-            inputs[-1]["bitDepth"] = int(param)
+            cur(inputs, arg, "--input")["bitDepth"] = int(param)
         elif arg == "--output-bit-depth":
-            outputs[-1]["bitDepth"] = int(param)
+            cur(outputs, arg, "--output")["bitDepth"] = int(param)
         elif arg == "--input-data-type":
             if param not in DATA_TYPES:
                 raise SystemExit("Invalid type")
-            inputs[-1]["dataType"] = param
+            cur(inputs, arg, "--input")["dataType"] = param
         elif arg == "--output-data-type":
             if param not in DATA_TYPES:
                 raise SystemExit("Invalid type")
-            outputs[-1]["dataType"] = param
+            cur(outputs, arg, "--output")["dataType"] = param
         elif arg == "--input-channels":
-            inputs[-1]["channels"] = int(param)
+            cur(inputs, arg, "--input")["channels"] = int(param)
         elif arg == "--output-channels":
-            outputs[-1]["channels"] = int(param)
+            cur(outputs, arg, "--output")["channels"] = int(param)
         elif arg == "--input-sample-rate":
-            inputs[-1]["sampleRate"] = int(param)
+            cur(inputs, arg, "--input")["sampleRate"] = int(param)
         elif arg == "--output-sample-rate":
-            outputs[-1]["sampleRate"] = int(param)
+            cur(outputs, arg, "--output")["sampleRate"] = int(param)
         elif arg == "--effect":
             if param == "list":
                 names = sorted(
@@ -292,7 +301,7 @@ def main(argv=None):
                     e.append(float(s) if "." in s else int(s))
                 except ValueError:
                     e.append(s)
-            outputs[-1].setdefault("effects", []).append(e)
+            cur(outputs, arg, "--output").setdefault("effects", []).append(e)
         elif arg == "--map":
             f, ch, rpn = parse_map(param)
             maps.setdefault(f, {})

@@ -108,18 +108,50 @@ class PcmFrameSource:
         self._values = None
         self._vpos = 0
         self._bytes = None
+        self._device = False
         self.total_frames = None
-        if isinstance(data, (bytes, bytearray, memoryview)) or callable(data) or hasattr(data, "__iter__") and not isinstance(data, (list, tuple, np.ndarray)):
+        # a jax array is a VALUE source like a numpy array (the reference's
+        # table input), kept device-resident: read_frames then returns jax
+        # frames and ChunkResampler routes them through its fused device twin
+        # (stream.pcm's TPU-resident ingestion path; engine.py docstring)
+        is_jax = type(data).__module__.partition(".")[0] in ("jax", "jaxlib")
+        if isinstance(data, (bytes, bytearray, memoryview)) or callable(data) or (
+            hasattr(data, "__iter__")
+            and not isinstance(data, (list, tuple, np.ndarray))
+            and not is_jax
+        ):
             self._bytes = ByteSource(data)
             if isinstance(data, (bytes, bytearray, memoryview)):
                 self.total_frames = len(data) // self.bytes_per_frame
         else:
-            self._values = np.asarray(data)
+            self._device = is_jax
+            self._values = data if is_jax else np.asarray(data)
             self.total_frames = len(self._values) // channels
 
-    def read_frames(self, n: int) -> np.ndarray:
-        """Up to n frames as [channels_out, k] float64 (normalized)."""
+    def read_frames(self, n: int):
+        """Up to n frames as [channels_out, k] float64 (normalized); a jax
+        VALUE source returns device-resident float32 frames instead."""
         c = self.channels
+        if self._device:
+            import jax.numpy as jnp
+
+            vals = self._values[self._vpos : self._vpos + n * c]
+            self._vpos += vals.shape[0]
+            k = vals.shape[0] // c
+            vals = vals[: k * c]
+            if self.data_type == "float":
+                norm = jnp.asarray(vals, jnp.float32)
+            else:
+                maxv = float(1 << (self.bit_depth - 1))
+                v = jnp.asarray(vals, jnp.float32)
+                if self.data_type == "signed":
+                    norm = v / jnp.where(v < 0, maxv, maxv - 1)
+                else:  # unsigned — reference quirk Q1: pivot/bias fixed at 128
+                    norm = (v - 128.0) / jnp.where(v < 128, maxv, maxv - 1)
+            frames = norm.reshape(k, c).T
+            if self.mono:
+                frames = frames.mean(axis=0, keepdims=True)
+            return frames
         if self._values is not None:
             vals = self._values[self._vpos : self._vpos + n * c]
             self._vpos += len(vals)

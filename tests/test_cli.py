@@ -264,3 +264,18 @@ def test_austream_plays_from_two_tcp_feeders(tmp_path):
                    "-o", str(out2)])
     exp_bytes = np.fromfile(out2, dtype=np.int8)
     np.testing.assert_array_equal(got, exp_bytes)
+
+
+def test_auconvert_per_file_flags_before_any_file_error(tmp_path):
+    """Per-file flags bind to the LAST -i/-o (reference positional semantics,
+    auconvert.lua:89-110 — it errors on a nil index); a flag arriving before
+    any file must exit with a message, for every such flag (VERDICT r2 weak
+    item 8)."""
+    import pytest
+
+    for args in (["-e", "mono"], ["-F", "wav"], ["-B", "16"], ["-T", "signed"],
+                 ["-C", "1"], ["-R", "48000"], ["-f", "wav"], ["-b", "16"],
+                 ["-t", "signed"], ["-c", "1"], ["-r", "8000"]):
+        with pytest.raises(SystemExit) as ei:
+            auconvert.main(args + ["-i", "x.wav", "-o", str(tmp_path / "y.wav")])
+        assert "requires a preceding" in str(ei.value)
