@@ -381,7 +381,8 @@ def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_nativ
     return frame_meta, sub, coefs, np.array(values, np.int64)
 
 
-def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None):
+def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None,
+                 mesh=None):
     """Batched LPC restore (+ wasted-bits shift) over a FLAT subframe batch:
     one contiguous span of warmup+residuals per subframe (the parser layout).
     Returns restored_flat int64[sum(block)].
@@ -391,7 +392,9 @@ def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None
     fleet restores in ONE dispatch. Routing: Pallas kernel on TPU (exact for
     depth <= 24 via int32 limbs; ``depth`` must be the batch MAX) when the
     batch clears ``CONFIG.flac_device_restore_min`` or ``device=True``; else
-    the native C++ in-place restore; else the numpy batch fallback."""
+    the native C++ in-place restore; else the numpy batch fallback. With a
+    ``mesh``, lanes shard over every mesh axis with zero collectives
+    (kernels/flac_pallas.py::lpc_restore_sharded)."""
     S = len(sub["order"])
     if S == 0:
         return np.zeros(0, np.int64)
@@ -403,33 +406,39 @@ def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None
     from ..config import CONFIG
 
     T_max = int(sub["block"].max())
+    keep = np.arange(T_max)[None, :] < np.asarray(sub["block"])[:, None]
     if device is None:
         device = (jax.default_backend() == "tpu"
                   and S * T_max >= CONFIG.flac_device_restore_min)
-    if device and depth <= 24:
-        # lane-batched Pallas restore (kernels/flac_pallas.py): exact for
+    if (device or mesh is not None) and depth <= 24:
+        # lane-batched device restore (kernels/flac_pallas.py): exact for
         # depth <= 24 via int32 limb arithmetic; 32-bit streams stay on the
-        # int64 host path
-        from ..kernels.flac_pallas import lpc_restore_pallas
-
+        # int64 host path. Staging scatters the flat values in one masked
+        # assignment (row-major order == the parser's span order).
         vals = np.zeros((S, T_max), np.int32)
-        for i in range(S):
-            vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
-        restored = np.asarray(lpc_restore_pallas(
-            vals, sub["order"], sub["shift"], sub["block"], coefs)).astype(np.int64)
+        vals[keep] = values_flat
+        if mesh is not None:
+            from ..kernels.flac_pallas import lpc_restore_sharded
+
+            restored = np.asarray(lpc_restore_sharded(
+                vals, sub["order"], sub["shift"], sub["block"], coefs,
+                mesh)).astype(np.int64)
+        else:
+            from ..kernels.flac_pallas import lpc_restore_pallas
+
+            restored = np.asarray(lpc_restore_pallas(
+                vals, sub["order"], sub["shift"], sub["block"], coefs)).astype(np.int64)
         restored <<= sub["wasted"][:, None]
-        keep = np.arange(T_max)[None, :] < sub["block"][:, None]
         return restored[keep]
     if _nb.available():
         return _nb.restore_lpc_flat(
             values_flat, offs[:-1], sub["block"], sub["order"], sub["shift"],
             sub["wasted"], coefs)
     vals = np.zeros((S, T_max), np.int64)
-    for i in range(S):
-        vals[i, : sub["block"][i]] = values_flat[offs[i] : offs[i + 1]]
+    vals[keep] = values_flat
     restored = restore_lpc_batch(vals, coefs, sub["shift"], sub["order"])
     restored <<= sub["wasted"][:, None]
-    return np.concatenate([restored[i, : sub["block"][i]] for i in range(S)])
+    return restored[keep]
 
 
 def restore_and_decorrelate(frame_meta, sub, coefs, values_flat, channels: int, depth: int):

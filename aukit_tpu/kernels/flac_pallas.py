@@ -121,15 +121,109 @@ def _order_bucket(max_order: int) -> int:
     return 32
 
 
-def lpc_restore_pallas(vals, orders, shifts, blocks, coefs, interpret: bool = False):
+@functools.partial(jax.jit, static_argnums=(5,))
+def lpc_restore_scan(vals, orders, shifts, blocks, coefs, K: int):
+    """Pure-jnp twin of the Pallas kernel: the SAME int32-limb tap math as a
+    ``lax.scan`` over time with [S] lanes vectorized — identical results on
+    the depth <= 24 exactness domain, compilable on ANY backend and trivially
+    shardable over the lane axis (all ops are lane-elementwise). This is the
+    restore the sharded FLAC fleet runs on non-TPU meshes (and the dryrun's
+    CPU mesh).
+
+    vals int32[S, T]; orders/shifts/blocks int32[S]; coefs int32[S, >=K].
+    """
+    vals = jnp.asarray(vals, jnp.int32)
+    orders = jnp.asarray(orders, jnp.int32)
+    shifts = jnp.asarray(shifts, jnp.int32)
+    blocks = jnp.asarray(blocks, jnp.int32)
+    coefs = jnp.asarray(coefs, jnp.int32)
+    S, T = vals.shape
+    sa = jnp.clip(15 - shifts, 0, 31)
+    sb = jnp.clip(shifts, 0, 15)
+    sc = jnp.clip(shifts - 15, 0, 31)
+    sd = jnp.clip(-shifts, 0, 31)
+    nonneg = shifts >= 0
+    big = shifts > 15
+    haspred = orders > 0
+    taps = [coefs[:, j] for j in range(K)]
+
+    def body(w, xi):
+        res, i = xi
+        q = jnp.zeros_like(res)
+        rh = jnp.zeros_like(res)
+        rl = jnp.zeros_like(res)
+        for j in range(K):
+            v = w[j]
+            c = taps[j]
+            q = q + (v >> 16) * c
+            r = (v & 0xFFFF) * c
+            rh = rh + (r >> 15)
+            rl = rl + (r & 0x7FFF)
+        tp = 2 * q + rh + (rl >> 15)
+        rl = rl & 0x7FFF
+        p_low = (tp << sa) + jnp.where(nonneg, rl >> sb, rl << sd)
+        pred = jnp.where(big, tp >> sc, p_low)
+        upd = (i >= orders) & (i < blocks) & haspred
+        vnew = jnp.where(upd, res + pred, res)
+        return jnp.concatenate([vnew[None], w[:-1]], axis=0), vnew
+
+    w0 = jnp.zeros((K, S), jnp.int32)
+    _, out = jax.lax.scan(body, w0, (vals.T, jnp.arange(T, dtype=jnp.int32)))
+    return out.T
+
+
+def lpc_restore_sharded(vals, orders, shifts, blocks, coefs, mesh,
+                        use_pallas: bool | None = None):
+    """Mesh-sharded batched restore: subframe lanes are fully independent, so
+    they split over every mesh axis with ZERO collectives (SURVEY.md §2.4
+    "sharded over chips" applied to the FLAC fleet). Pads lanes to a
+    device-count multiple; on TPU meshes each shard runs the Pallas kernel
+    under shard_map, elsewhere the jnp scan twin partitions under jit."""
+    S, T = vals.shape
+    n = mesh.devices.size
+    pad = (-S) % n
+    K = _order_bucket(int(np.max(orders)) if len(orders) else 1)
+
+    def padded(a, fill=0):
+        a = jnp.asarray(a, jnp.int32)
+        width = ((0, pad),) + ((0, 0),) * (a.ndim - 1)
+        return jnp.pad(a, width, constant_values=fill)
+
+    vals_p = padded(vals)
+    args = (vals_p, padded(orders), padded(shifts),
+            padded(blocks), padded(coefs)[:, :K])
+    P = jax.sharding.PartitionSpec
+    axes = tuple(mesh.axis_names)
+    lane = jax.sharding.NamedSharding(mesh, P(axes))
+    lane2 = jax.sharding.NamedSharding(mesh, P(axes, None))
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        specs = (P(axes, None), P(axes), P(axes), P(axes), P(axes, None))
+        fn = jax.jit(jax.shard_map(
+            lambda v, o, s, b, c: lpc_restore_pallas(v, o, s, b, c, K=K),
+            mesh=mesh, in_specs=specs, out_specs=P(axes, None)))
+        out = fn(*args)
+    else:
+        shardings = (lane2, lane, lane, lane, lane2)
+        args = tuple(jax.device_put(a, sh) for a, sh in zip(args, shardings))
+        out = lpc_restore_scan(*args, K)
+    return out[:S]
+
+
+def lpc_restore_pallas(vals, orders, shifts, blocks, coefs, interpret: bool = False,
+                       K: int | None = None):
     """Flat-lane wrapper: vals int32[S, T] (+ per-lane order/shift/block,
     coefs [S, 32]) -> restored int32[S, T]. Pads lanes to [32, 128] groups and
-    T to the time tile; tap count specializes on the batch's max order."""
+    T to the time tile; tap count specializes on the batch's max order (pass
+    ``K`` explicitly under tracing, e.g. inside shard_map, where orders is
+    abstract)."""
     from .dfpwm_pallas import groups_to_lanes, lanes_to_groups
 
     vals = jnp.asarray(vals, jnp.int32)
     S, T = vals.shape
-    K = _order_bucket(int(np.max(orders)) if len(orders) else 1)
+    if K is None:
+        K = _order_bucket(int(np.max(orders)) if len(orders) else 1)
     gm, _ = lanes_to_groups(vals, TIME_TILE)
 
     def pack(v):

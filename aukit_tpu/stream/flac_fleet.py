@@ -93,17 +93,24 @@ class FlacFleet:
     device_restore : route the batched LPC restore to the Pallas TPU kernel
         (True), the host C++/numpy path (False), or the CONFIG-driven default
         (None — ``flac_device_restore_min`` threshold on TPU backends)
+    mesh : optional ``jax.sharding.Mesh`` — the per-step restore batch shards
+        its subframe lanes over every mesh axis with zero collectives
+        (SURVEY.md §2.4 "sharded over chips"; Pallas under shard_map on TPU,
+        the jnp limb-scan twin elsewhere). Depth > 24 lanes fall back to the
+        host restore.
 
     Each lane carries its own format (rate/channels/depth parsed from its own
     ``fLaC`` header), so a fleet may mix files freely; malformed lanes are
     poisoned individually (``lane_error``) and never affect the batch.
     """
 
-    def __init__(self, lanes: int, device_restore: bool | None = None):
+    def __init__(self, lanes: int, device_restore: bool | None = None,
+                 mesh=None):
         if lanes < 1:
             raise ValueError("need at least one lane")
         self.lanes = lanes
         self.device_restore = device_restore
+        self.mesh = mesh
         self.mode = get_interpolation(None)
         self.out_rate = CONFIG.output_rate
         self._lanes = [_Lane() for _ in range(lanes)]
@@ -212,7 +219,9 @@ class FlacFleet:
         values_all = np.concatenate([p[4] for p in parsed])
         depth_max = max(self._lanes[p[0]].depth for p in parsed)
         restored = flac_codec.restore_flat(
-            sub_all, coefs_all, values_all, depth_max, device=self.device_restore)
+            sub_all, coefs_all, values_all, depth_max,
+            device=self.device_restore,
+            mesh=self.mesh if depth_max <= 24 else None)
         voffs = np.concatenate(
             [[0], np.cumsum([int(p[2]["block"].sum()) for p in parsed])])
 

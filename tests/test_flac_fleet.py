@@ -139,9 +139,9 @@ def test_fleet_one_restore_dispatch_spans_lanes(monkeypatch):
     calls = []
     real = flac_codec.restore_flat
 
-    def spy(sub, coefs, values, depth, device=None):
+    def spy(sub, coefs, values, depth, device=None, mesh=None):
         calls.append(len(sub["order"]))
-        return real(sub, coefs, values, depth, device=device)
+        return real(sub, coefs, values, depth, device=device, mesh=mesh)
 
     monkeypatch.setattr(flac_codec, "restore_flat", spy)
     datas = [make_flac(48000, 6, seed=i) for i in range(5)]
@@ -311,3 +311,65 @@ def test_fleet_tiny_blocks_nonuniform_history():
     data = fixtures.flac_stream_header(8000, 1, 16, 192 * 2 + 64 + 2) + b"".join(frames)
     outs, _ = run_fleet([data], chunk=100)
     assert_lane_equals_solo(outs[0], data)
+
+
+def test_lpc_restore_scan_matches_host():
+    """The jnp limb-scan twin (the sharded fleet's non-TPU restore) equals
+    the int64 host restore on the depth <= 24 domain, mixed orders/shifts."""
+    from aukit_tpu.codecs.flac import restore_lpc_batch
+    from aukit_tpu.kernels.flac_pallas import lpc_restore_scan
+
+    r = np.random.default_rng(23)
+    S, T = 7, 300
+    orders = np.array([0, 1, 3, 8, 12, 32, 2], np.int64)
+    shifts = np.array([0, 5, 15, 17, -2, 9, 31], np.int64)
+    blocks = np.array([300, 300, 250, 300, 128, 300, 1], np.int64)
+    coefs = np.zeros((S, 32), np.int64)
+    # residuals derived from bounded targets (real-encoder-shaped input): the
+    # int32-limb math is exact only while restored samples stay < 2^25
+    vals = np.zeros((S, T), np.int64)
+    targets = r.integers(-(1 << 17), 1 << 17, (S, T)).astype(np.int64)
+    for i in range(S):
+        o = int(orders[i])
+        if shifts[i] < 0:  # negative shift MULTIPLIES the dot: keep the
+            targets[i] >>= 7  # residual (s - pred) inside int32
+            cs = 1 << 10
+        else:
+            cs = 1 << 14
+        coefs[i, :o] = r.integers(-cs, cs, o)
+        s = targets[i]
+        vals[i, :o] = s[:o]
+        for t in range(o, T):
+            acc = int(np.dot(s[t - o:t][::-1], coefs[i, :o])) if o else 0
+            sh = int(shifts[i])
+            pred = (acc << -sh) if sh < 0 else (acc >> sh)
+            vals[i, t] = (int(s[t]) - pred) if o else s[t]
+    exp = restore_lpc_batch(vals.copy(), coefs, shifts, orders)
+    keep = np.arange(T)[None, :] < blocks[:, None]
+    np.testing.assert_array_equal(np.where(keep, exp, 0),
+                                  np.where(keep, targets, 0) * keep)
+    assert np.abs(vals).max() < 1 << 31, "residuals must fit int32"
+    got = np.asarray(lpc_restore_scan(
+        vals.astype(np.int32), orders.astype(np.int32), shifts.astype(np.int32),
+        blocks.astype(np.int32), coefs.astype(np.int32), 32)).astype(np.int64)
+    np.testing.assert_array_equal(np.where(keep, got, 0), np.where(keep, exp, 0))
+
+
+def test_fleet_sharded_over_mesh_bit_exact():
+    """FlacFleet(mesh=...) shards the restore batch over the 8-device CPU
+    mesh; outputs are bit-identical to the unsharded fleet AND to solo
+    stream.flac (MULTICHIP invariance for the FLAC north-star path)."""
+    import jax
+
+    from aukit_tpu.parallel.pipeline import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(8)
+    datas = [make_flac(48000, 6, seed=30 + i, channels=1 + i % 2,
+                       chan_asgn=0 if i % 2 == 0 else 10) for i in range(5)]
+    plain, _ = run_fleet(datas, fleet=FlacFleet(len(datas)))
+    sharded, _ = run_fleet(datas, fleet=FlacFleet(len(datas), mesh=mesh))
+    for a, b, d in zip(plain, sharded, datas):
+        np.testing.assert_array_equal(a, b)
+        assert_lane_equals_solo(b, d)
