@@ -39,6 +39,7 @@ restore + re-feed from ``byte_offset + len(pending)`` resumes bit-exactly
 from __future__ import annotations
 
 import collections
+import functools
 import math
 import struct
 import time
@@ -48,11 +49,74 @@ import numpy as np
 from ..codecs import flac as flac_codec
 from ..config import CONFIG, get_interpolation
 from .batch import BatchMetrics
-from .engine import iir_lowpass_scan, lua_block_resample
+from .engine import block_resample_plan, iir_lowpass_scan, lua_block_resample
 
 __all__ = ["FlacFleet"]
 
 _PULL_STALL_LIMIT = 8 << 20  # bytes of undecodable buffer before a lane ends
+
+
+def _bucket(n: int) -> int:
+    """Next power of two: bounds device-DSP recompiles to log-many shapes."""
+    return 1 << max(0, (n - 1)).bit_length()
+
+
+@functools.lru_cache(maxsize=128)
+def _device_resample_fn(n: int, in_rate: int, out_rate: int, mode: str, window: int):
+    """Jitted f32 twin of the per-block lua_block_resample ("none"/"linear"):
+    ext f32[P, C, n+2] -> f32[P, C, out_len]. Static plan tables baked in."""
+    import jax
+    import jax.numpy as jnp
+
+    out_len, ffx0, frac, exact, _w = block_resample_plan(n, in_rate, out_rate, mode, window)
+    ffx = jnp.asarray(ffx0 + 2)
+    fracj = jnp.asarray(frac.astype(np.float32))
+    exactj = jnp.asarray(exact)
+
+    @jax.jit
+    def fn(ext):
+        hi = ext.shape[-1] - 1
+        p1 = jnp.take(ext, jnp.clip(ffx, 0, hi), axis=-1)
+        if mode == "none":
+            return p1
+        p2 = jnp.take(ext, jnp.minimum(ffx + 1, hi), axis=-1)
+        return jnp.where(exactj, p1, p1 + (p2 - p1) * fracj)
+
+    return fn, out_len
+
+
+@functools.lru_cache(maxsize=128)
+def _device_iir_scale_fn(T: int, alpha: float, mono: bool):
+    """Jitted f32 IIR (recursive doubling over the whole step) + int8-range
+    scale + mono mean: x f32[L, C, T], state f32[L, C], tvalid int32[L] ->
+    (scaled f32[L, T'], new_state f32[L, C]). State is read at each lane's
+    last VALID index, so trailing pad never corrupts the carry."""
+    import jax
+    import jax.numpy as jnp
+
+    c = np.float32(1.0 - alpha)
+    a = np.float32(alpha)
+
+    @jax.jit
+    def fn(x, state, tvalid):
+        y = x * a
+        y = y.at[..., 0].add(c * state)
+        ck = c
+        shift = 1
+        while shift < T:
+            y = y.at[..., shift:].add(ck * y[..., :-shift])
+            ck = ck * ck
+            shift *= 2
+        idx = jnp.clip(tvalid - 1, 0, T - 1)
+        new_state = jnp.take_along_axis(y, idx[:, None, None], axis=-1)[..., 0]
+        scaled = jnp.clip(y * jnp.where(y < 0, 128.0, 127.0), -128.0, 127.0)
+        if mono:
+            scaled = scaled.mean(axis=1)
+        else:
+            scaled = scaled[:, 0]
+        return scaled, new_state
+
+    return fn
 
 
 class _Lane:
@@ -105,12 +169,19 @@ class FlacFleet:
     """
 
     def __init__(self, lanes: int, device_restore: bool | None = None,
-                 mesh=None):
+                 mesh=None, device_dsp: bool = False):
         if lanes < 1:
             raise ValueError("need at least one lane")
         self.lanes = lanes
         self.device_restore = device_restore
         self.mesh = mesh
+        # device_dsp: run the resample+lowpass+scale phase as two fused f32
+        # device dispatches per step (for locally-attached chips; this
+        # environment's tunnel makes per-step dispatches host-bound). The
+        # host f64 path remains the bit-parity oracle; the twin is f32-close
+        # (same contract as ChunkResampler's device twin). Steps whose parsed
+        # frames span multiple geometries fall back to the host path.
+        self.device_dsp = device_dsp
         self.mode = get_interpolation(None)
         self.out_rate = CONFIG.output_rate
         self._lanes = [_Lane() for _ in range(lanes)]
@@ -261,6 +332,16 @@ class FlacFleet:
                             np.concatenate([hist[:, -1:], blk], axis=1)[:, -2:])
                 ln.last = hist.copy()
 
+        if self.device_dsp and len(jobs) == 1 and self.mode in ("none", "linear"):
+            (n, rate, C), items = next(iter(jobs.items()))
+            dev_out = self._device_dsp_step(n, rate, C, items)
+            if dev_out is not None:
+                for li, samples in dev_out.items():
+                    ln = self._lanes[li]
+                    ln.fifo.append(samples)
+                    ln.fill += len(samples)
+                return
+
         # resample every (lane, block) pair, batched per distinct geometry
         for (n, rate, _C), items in jobs.items():
             stk = np.stack([ext for _li, _r, ext in items])
@@ -304,6 +385,50 @@ class FlacFleet:
             out = parts[0] if len(parts) == 1 else np.concatenate(parts)
             ln.fifo.append(out)
             ln.fill += len(out)
+
+    def _device_dsp_step(self, n: int, rate: int, C: int, items):
+        """Single-geometry device DSP: ONE f32 resample dispatch over every
+        (lane, block) pair plus ONE fused IIR+scale+mono dispatch over the
+        lane-stacked step matrix (power-of-two row/time buckets bound
+        recompiles). Returns {lane: scaled f32[T_l]} or None when the
+        geometry can't run on device."""
+        import jax.numpy as jnp
+
+        fn_r, out_len = _device_resample_fn(
+            n, rate, self.out_rate, self.mode, CONFIG.sinc_window_size)
+        if out_len == 0:
+            return None
+        P = len(items)
+        ext = np.zeros((_bucket(P), C, n + 2), np.float32)
+        for k, (_li, _r, e) in enumerate(items):
+            ext[k] = e
+        res = fn_r(jnp.asarray(ext))  # [Pb, C, out_len]
+        per_lane: dict[int, list[tuple[int, int]]] = {}
+        for k, (li, r, _e) in enumerate(items):
+            per_lane.setdefault(li, []).append((r, k))
+        lanes = sorted(per_lane)
+        Lb = _bucket(len(lanes))
+        m_max = _bucket(max(len(v) for v in per_lane.values()))
+        idx = np.zeros((Lb, m_max), np.int64)
+        tval = np.zeros(Lb, np.int32)
+        ls = np.zeros((Lb, C), np.float32)
+        for i, li in enumerate(lanes):
+            rows = [k for _r, k in sorted(per_lane[li])]
+            idx[i, : len(rows)] = rows
+            tval[i] = len(rows) * out_len  # valid prefix; pad rows masked
+            ls[i] = self._lanes[li].ls
+        x = jnp.take(res, jnp.asarray(idx), axis=0)  # [Lb, m, C, out_len]
+        x = jnp.moveaxis(x, 2, 1).reshape(Lb, C, m_max * out_len)
+        alpha = float(self._lanes[lanes[0]].alpha)  # one geometry -> one rate
+        fn_i = _device_iir_scale_fn(m_max * out_len, alpha, C > 1)
+        scaled, new_state = fn_i(x, jnp.asarray(ls), jnp.asarray(tval))
+        scaled = np.asarray(scaled)
+        new_state = np.asarray(new_state)
+        out = {}
+        for i, li in enumerate(lanes):
+            self._lanes[li].ls = new_state[i].astype(np.float64)
+            out[li] = scaled[i, : tval[i]]
+        return out
 
     def _pop(self, ln: _Lane, out: np.ndarray) -> int:
         take = min(ln.fill, len(out))
