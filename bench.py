@@ -198,6 +198,19 @@ def bench_all():
 
     lines = _Emit()
 
+    def prof_fields(line, run_chained, samples_per_call, codec):
+        """Attach profiler-derived device-only fields (the e2e numbers above
+        them are serialized on this environment's ~30 ms tunnel RTT per
+        forced fetch — device time is the hardware truth)."""
+        dev_s = _profiled_device_seconds(run_chained, iters=2)
+        if dev_s:
+            rate = samples_per_call / dev_s
+            line["kernel_device_ms_per_call"] = round(dev_s * 1e3, 3)
+            line["kernel_device_realtime_x"] = round(rate / 48000, 1)
+            line["vpu_fraction_device"] = round(
+                rate * KERNEL_OPS_PER_SAMPLE[codec] / VPU_PEAK_INT_OPS, 4)
+        return line
+
     # config 1: stream.wav 16-bit PCM -> 48k mono linear (host chunk engine)
     import aukit_tpu as ak
     from tests import fixtures as _  # noqa: F401  (not used; avoids heavy imports)
@@ -267,11 +280,17 @@ def bench_all():
         sti = jnp.zeros((Gi, 2, 32, 128), jnp.int32)
         nvi = jnp.full((1,), Ti, jnp.int32)
         dt = _time(lambda i: ipk.ima_decode_grouped(xi[i % 2], sti, nvi)[0], force, 3)
-        lines.append(_with_roofline(
+        ist = [sti]
+
+        def ima_chained(i):
+            out, ist[0] = ipk.ima_decode_grouped(xi[i % 2], ist[0], nvi)
+            return out
+
+        lines.append(prof_fields(_with_roofline(
             {"metric": "ima_adpcm_pallas_realtime_tpu",
              "value": round(Gi * ipk.GROUP * Ti / dt / 48000, 1),
              "unit": "x_realtime", "vs_baseline": None},
-            "ima", Gi * ipk.GROUP * Ti / dt))
+            "ima", Gi * ipk.GROUP * Ti / dt), ima_chained, Gi * ipk.GROUP * Ti, "ima"))
         from aukit_tpu.kernels import msadpcm_pallas as mp
 
         Gm, Tm = 4, 8192
@@ -280,11 +299,17 @@ def bench_all():
         com = jnp.zeros((Gm, 2, 32, 128), jnp.int32).at[:, 0].set(256)
         nvm = jnp.full((1,), Tm, jnp.int32)
         dt = _time(lambda i: mp.msadpcm_decode_grouped(xm[i % 2], stm, com, nvm)[0], force, 3)
-        lines.append(_with_roofline(
+        mst = [stm]
+
+        def ms_chained(i):
+            out, mst[0] = mp.msadpcm_decode_grouped(xm[i % 2], mst[0], com, nvm)
+            return out
+
+        lines.append(prof_fields(_with_roofline(
             {"metric": "ms_adpcm_pallas_realtime_tpu",
              "value": round(Gm * mp.GROUP * Tm / dt / 48000, 1),
              "unit": "x_realtime", "vs_baseline": None},
-            "msadpcm", Gm * mp.GROUP * Tm / dt))
+            "msadpcm", Gm * mp.GROUP * Tm / dt), ms_chained, Gm * mp.GROUP * Tm, "msadpcm"))
         from aukit_tpu.kernels import qoa_pallas as qpk
 
         Gq, Tq = 4, 5120
@@ -292,11 +317,17 @@ def bench_all():
         stq = jnp.zeros((Gq, 8, 32, 128), jnp.int32)
         nvq = jnp.full((1,), Tq, jnp.int32)
         dt = _time(lambda i: qpk.qoa_lms_grouped(xq[i % 2], stq, nvq)[0], force, 3)
-        lines.append(_with_roofline(
+        qst = [stq]
+
+        def qoa_chained(i):
+            out, qst[0] = qpk.qoa_lms_grouped(xq[i % 2], qst[0], nvq)
+            return out
+
+        lines.append(prof_fields(_with_roofline(
             {"metric": "qoa_lms_pallas_realtime_tpu",
              "value": round(Gq * qpk.GROUP * Tq / dt / 48000, 1),
              "unit": "x_realtime", "vs_baseline": None},
-            "qoa", Gq * qpk.GROUP * Tq / dt))
+            "qoa", Gq * qpk.GROUP * Tq / dt), qoa_chained, Gq * qpk.GROUP * Tq, "qoa"))
     raw = [jnp.asarray(rng.integers(0, 256, (Lb, 48000)).astype(np.uint8)) for _i in range(2)]
     dt = _time(lambda i: decode_g711_device(raw[i % 2], True, 1, 0x2000), force, 3)
     lines.append({"metric": f"g711_decode_realtime_{backend}", "value": round(Lb * 48000 / dt / 48000, 1),
