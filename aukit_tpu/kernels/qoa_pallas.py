@@ -32,7 +32,8 @@ TIME_TILE = 256  # samples per grid step (512 int16 in+out blocks
 # double-buffer to 16.6 MB and overflow the 16 MB scoped VMEM limit)
 
 
-UNROLL = 4  # samples per loop iteration (loop overhead dominates at 1)
+UNROLL = 8  # samples per loop iteration (device-profiled: u4 0.59 ms,
+# u8 0.57 ms, u16 ties u8 at G=4 T=5120 — the LMS recurrence is ALU-bound)
 
 
 def _qoa_kernel(nvalid_ref, dq_ref, state_ref, out_ref, state_out_ref, st):

@@ -101,6 +101,27 @@ def test_native_speedup():
     assert t_native < t_python  # typically 50-500x
 
 
+def test_native_incremental_truncation_sweep():
+    """The fleet's exact native entry (incremental parse_all_frames) over
+    EVERY byte-boundary truncation of a mixed stream: committed frames and
+    end_pos must match the Python BitReader at each cut, and no cut may read
+    out of bounds (this test is part of the ASan sweep — jax-jit paths crash
+    under ASan's __cxa_throw interceptor vs jaxlib, so native coverage lives
+    in jit-free tests like this one)."""
+    data = _mixed_stream()
+    _, _, _, _, _, pos = flac_codec.parse_flac_header(data)
+    for cut in range(pos, len(data) + 1):
+        d = data[:cut]
+        fm_n, sub_n, _co_n, val_n, end_n = flac_codec.parse_all_frames(
+            d, pos, 2, 16, use_native=True, strict=False, incremental=True)
+        fm_p, sub_p, _co_p, val_p, end_p = flac_codec.parse_all_frames(
+            d, pos, 2, 16, use_native=False, strict=False, incremental=True)
+        assert end_n == end_p <= cut, cut
+        np.testing.assert_array_equal(fm_n, fm_p, err_msg=str(cut))
+        np.testing.assert_array_equal(val_n, val_p, err_msg=str(cut))
+        np.testing.assert_array_equal(sub_n["block"], sub_p["block"])
+
+
 def test_native_qoa_full_decode_matches_python():
     """Fused C++ QOA decode vs the vectorized-numpy oracle, incl. a short
     trailing frame and the 8-byte slack quirk."""
