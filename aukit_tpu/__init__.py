@@ -25,7 +25,7 @@ from .ops import pcmcode as _pcmcode
 from .ops.generate import noise, silence, tone
 from .utils.validation import check_bit_depth, check_data_type
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 _REFERENCE_VERSION = "1.10.0"  # aukit.lua:98
 
 
