@@ -110,6 +110,8 @@ def iir_lowpass_scan(x: np.ndarray, alpha: float, state: np.ndarray):
     shift = 1
     n = y.shape[-1]
     while shift < n:
+        if ck == 0.0:  # f64 underflow: every further doubling pass adds
+            break  # exactly +0.0 — skipping is bit-identical
         y[..., shift:] += ck * y[..., :-shift]
         ck = ck * ck
         shift *= 2

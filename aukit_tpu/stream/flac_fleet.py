@@ -104,6 +104,8 @@ def _device_iir_scale_fn(T: int, alpha: float, mono: bool):
         ck = c
         shift = 1
         while shift < T:
+            if ck == 0:  # trace-time f32 underflow: every further doubling
+                break  # pass adds exactly +0.0 — skipping is bit-identical
             y = y.at[..., shift:].add(ck * y[..., :-shift])
             ck = ck * ck
             shift *= 2

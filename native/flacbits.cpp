@@ -917,6 +917,8 @@ void iir_scan_rows(double* y, const double* state, double* state_out,
         yr[0] = yr[0] + t0;
         double ck = c;
         for (int64_t shift = 1; shift < T; shift <<= 1) {
+            if (ck == 0.0) break;  // underflow: further passes add exactly
+                                   // +0.0 — skipping is bit-identical
             for (int64_t i = T - 1; i >= shift; i--) {
                 double t = ck * yr[i - shift];
                 yr[i] = yr[i] + t;

@@ -805,3 +805,67 @@ def test_stream_pcm_jax_value_source_device_twin():
             assert isinstance(cd, jax.Array) and cd.dtype == jnp.float32
             assert ch.shape == cd.shape
             np.testing.assert_allclose(np.asarray(cd), ch, atol=2e-2)
+
+
+def test_iir_doubling_zero_pass_skip_bit_identical():
+    """The recursive-doubling lowpass twins skip passes once the decay
+    constant underflows to exactly 0.0 (every such pass adds +0.0). Pin
+    bit-identity against a full-pass replica on all three implementations:
+    host f64 (native C++ or numpy fallback), numpy fallback directly, and
+    the fleet's jitted f32 device twin."""
+    from aukit_tpu.stream.engine import iir_lowpass_scan
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((5, 2, 4096)) * 0.4
+    state = rng.standard_normal((5, 2)) * 0.1
+    for alpha in (0.9568, 0.407, 0.02):  # 48k / 8k stream alphas + a slow one
+        c = 1.0 - alpha
+
+        def full_doubling(xx, st):  # the pre-skip evaluation order, verbatim
+            y = xx * alpha
+            y[..., 0] += c * st
+            ck, shift = c, 1
+            while shift < y.shape[-1]:
+                y[..., shift:] += ck * y[..., :-shift]
+                ck = ck * ck
+                shift *= 2
+            return y, y[..., -1].copy()
+
+        y_ref, fin_ref = full_doubling(x.copy(), state)
+        y, fin = iir_lowpass_scan(x.copy(), alpha, state.copy())
+        np.testing.assert_array_equal(y, y_ref)
+        np.testing.assert_array_equal(fin, fin_ref)
+
+    # fleet device twin (f32): compare against a jitted FULL-pass replica —
+    # device vs device, so backend FMA/rounding choices cancel and only the
+    # skip's effect (none) is under test
+    from aukit_tpu.stream.flac_fleet import _device_iir_scale_fn
+    import jax
+    import jax.numpy as jnp
+
+    T = 2048
+    xf = (rng.standard_normal((4, 1, T)) * 0.4).astype(np.float32)
+    stf = (rng.standard_normal((4, 1)) * 0.1).astype(np.float32)
+    tval = np.full(4, T, np.int32)
+    alpha = 0.9568
+    a32, c32 = np.float32(alpha), np.float32(1.0 - alpha)
+
+    @jax.jit
+    def full_fn(x, state, tvalid):
+        y = x * a32
+        y = y.at[..., 0].add(c32 * state)
+        ck, shift = c32, 1
+        while shift < T:
+            y = y.at[..., shift:].add(ck * y[..., :-shift])
+            ck = ck * ck
+            shift *= 2
+        idx = jnp.clip(tvalid - 1, 0, T - 1)
+        new_state = jnp.take_along_axis(y, idx[:, None, None], axis=-1)[..., 0]
+        scaled = jnp.clip(y * jnp.where(y < 0, 128.0, 127.0), -128.0, 127.0)
+        return scaled[:, 0], new_state
+
+    exp, fin_exp = full_fn(jnp.asarray(xf), jnp.asarray(stf), jnp.asarray(tval))
+    fn = _device_iir_scale_fn(T, alpha, False)
+    got, new_state = fn(jnp.asarray(xf), jnp.asarray(stf), jnp.asarray(tval))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
+    np.testing.assert_array_equal(np.asarray(new_state), np.asarray(fin_exp))
