@@ -86,6 +86,62 @@ def _device_resample_fn(n: int, in_rate: int, out_rate: int, mode: str, window: 
 
 
 @functools.lru_cache(maxsize=128)
+def _device_block_iir_scale_fn(out_len: int, alpha: float, mono: bool,
+                               interpret: bool):
+    """Block-parallel twin of ``_device_iir_scale_fn``: the 1-pole lowpass
+    runs as ONE Pallas pass over every (lane, block, channel) with zero
+    initial state (kernels/iir_pallas.py — HBM once in/once out, vs log2(T)
+    full-array doubling passes), then the cross-block chain is recovered
+    exactly: block r's incoming state s_r follows the scalar recurrence
+    ``s_{r+1} = fin0_r + c^out_len * s_r`` (fin0 = zero-init finals; the
+    decay factor is usually exactly 0.0 in f32, collapsing the scan to a
+    shift) and the correction ``y += c^(t+1) * s`` is one fused elementwise
+    pass. Takes (res f32[Pb, C, out_len] resampled blocks, idx int[Lb, m]
+    rows per lane in time order, tvalid int32[Lb], state f32[Lb, C]);
+    returns the same (scaled f32[Lb, T'], new_state) contract."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.dfpwm_pallas import groups_to_lanes, lanes_to_groups
+    from ..kernels.iir_pallas import TIME_TILE, iir_zero_grouped
+
+    c = np.float32(1.0 - alpha)
+    dec = np.cumprod(np.full(out_len, c, dtype=np.float32),
+                     dtype=np.float32)  # dec[t] = c^(t+1), f32 chain order
+    dN = dec[-1]
+    decj = jnp.asarray(dec)
+    if dN:
+        chain = lambda s, f: (f + dN * s, s)  # noqa: E731
+    else:  # c^out_len underflowed: the chain is a pure shift
+        chain = lambda s, f: (f, s)  # noqa: E731
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def fn(res, idx, tvalid, state):
+        Pb, C, _ = res.shape
+        gm, _dims = lanes_to_groups(res.reshape(Pb * C, out_len), TIME_TILE)
+        y0 = groups_to_lanes(iir_zero_grouped(gm, float(alpha), interpret),
+                             Pb * C, out_len).reshape(Pb, C, out_len)
+        fin0 = y0[..., -1]  # [Pb, C]
+        yb = jnp.take(y0, idx, axis=0)  # [Lb, m, C, out_len]
+        fb = jnp.take(fin0, idx, axis=0)  # [Lb, m, C]
+        _, s_in = jax.lax.scan(chain, state, jnp.moveaxis(fb, 1, 0))
+        s_in = jnp.moveaxis(s_in, 0, 1)  # incoming state per block [Lb, m, C]
+        y = yb + decj * s_in[..., None]
+        x2 = jnp.moveaxis(y, 2, 1).reshape(y.shape[0], C, -1)
+        T = x2.shape[-1]
+        i2 = jnp.clip(tvalid - 1, 0, T - 1)
+        new_state = jnp.take_along_axis(x2, i2[:, None, None], axis=-1)[..., 0]
+        scaled = jnp.clip(x2 * jnp.where(x2 < 0, 128.0, 127.0), -128.0, 127.0)
+        if mono:
+            scaled = scaled.mean(axis=1)
+        else:
+            scaled = scaled[:, 0]
+        return scaled, new_state
+
+    return fn
+
+
+@functools.lru_cache(maxsize=128)
 def _device_iir_scale_fn(T: int, alpha: float, mono: bool):
     """Jitted f32 IIR (recursive doubling over the whole step) + int8-range
     scale + mono mean: x f32[L, C, T], state f32[L, C], tvalid int32[L] ->
@@ -184,6 +240,15 @@ class FlacFleet:
         # (same contract as ChunkResampler's device twin). Steps whose parsed
         # frames span multiple geometries fall back to the host path.
         self.device_dsp = device_dsp
+        # lowpass routing inside the device DSP: the Pallas block-parallel
+        # kernel on real TPUs, the XLA recursive-doubling twin elsewhere
+        # (pallas-TPU requires interpret mode off-device; tests may set
+        # ``fleet._block_iir = "interpret"`` to force the kernel path on CPU)
+        self._block_iir = False
+        if device_dsp:
+            import jax
+
+            self._block_iir = jax.default_backend() == "tpu"
         self.mode = get_interpolation(None)
         self.out_rate = CONFIG.output_rate
         self._lanes = [_Lane() for _ in range(lanes)]
@@ -419,11 +484,18 @@ class FlacFleet:
             idx[i, : len(rows)] = rows
             tval[i] = len(rows) * out_len  # valid prefix; pad rows masked
             ls[i] = self._lanes[li].ls
-        x = jnp.take(res, jnp.asarray(idx), axis=0)  # [Lb, m, C, out_len]
-        x = jnp.moveaxis(x, 2, 1).reshape(Lb, C, m_max * out_len)
         alpha = float(self._lanes[lanes[0]].alpha)  # one geometry -> one rate
-        fn_i = _device_iir_scale_fn(m_max * out_len, alpha, C > 1)
-        scaled, new_state = fn_i(x, jnp.asarray(ls), jnp.asarray(tval))
+        if self._block_iir:
+            # Pallas block-parallel lowpass (see _device_block_iir_scale_fn)
+            fn_b = _device_block_iir_scale_fn(
+                out_len, alpha, C > 1, self._block_iir == "interpret")
+            scaled, new_state = fn_b(res, jnp.asarray(idx),
+                                     jnp.asarray(tval), jnp.asarray(ls))
+        else:
+            x = jnp.take(res, jnp.asarray(idx), axis=0)  # [Lb, m, C, out_len]
+            x = jnp.moveaxis(x, 2, 1).reshape(Lb, C, m_max * out_len)
+            fn_i = _device_iir_scale_fn(m_max * out_len, alpha, C > 1)
+            scaled, new_state = fn_i(x, jnp.asarray(ls), jnp.asarray(tval))
         scaled = np.asarray(scaled)
         new_state = np.asarray(new_state)
         out = {}

@@ -430,3 +430,52 @@ def test_fleet_device_dsp_twin_close():
     dev_u, _ = run_fleet(datas_u, fleet=FlacFleet(2, device_dsp=True))
     for a, b in zip(host_u, dev_u):
         np.testing.assert_allclose(b, a, atol=5e-3)
+
+
+def test_device_block_iir_matches_doubling_twin():
+    """_device_block_iir_scale_fn (Pallas zero-init blocks + exact chain
+    recovery, interpret mode) vs _device_iir_scale_fn (recursive doubling)
+    on the same inputs: same contract, f32-close, both alphas with and
+    without decay underflow, stereo+mono, ragged tvalid."""
+    import jax.numpy as jnp
+    from aukit_tpu.stream.flac_fleet import (_device_block_iir_scale_fn,
+                                             _device_iir_scale_fn)
+
+    rng = np.random.default_rng(21)
+    out_len, m, Lb, C = 160, 4, 4, 2
+    Pb = 16  # block rows (>= Lb*m)
+    res = (rng.standard_normal((Pb, C, out_len)) * 0.4).astype(np.float32)
+    idx = np.arange(Lb * m, dtype=np.int64).reshape(Lb, m)
+    tval = np.array([m, m, 2, 1], np.int32) * out_len  # ragged valid prefixes
+    ls = (rng.standard_normal((Lb, C)) * 0.2).astype(np.float32)
+
+    for alpha, mono in ((0.9568, True), (0.02, False)):  # dN==0 and dN!=0
+        fn_d = _device_iir_scale_fn(m * out_len, alpha, mono)
+        x = jnp.take(jnp.asarray(res), jnp.asarray(idx), axis=0)
+        x = jnp.moveaxis(x, 2, 1).reshape(Lb, C, m * out_len)
+        exp, exp_st = fn_d(x, jnp.asarray(ls), jnp.asarray(tval))
+        fn_b = _device_block_iir_scale_fn(out_len, alpha, mono, True)
+        got, got_st = fn_b(jnp.asarray(res), jnp.asarray(idx),
+                           jnp.asarray(tval), jnp.asarray(ls))
+        assert got.shape == exp.shape
+        for i in range(Lb):  # only the valid prefix is consumed downstream
+            np.testing.assert_allclose(np.asarray(got)[i, :tval[i]],
+                                       np.asarray(exp)[i, :tval[i]],
+                                       rtol=0, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(got_st)[i],
+                                       np.asarray(exp_st)[i],
+                                       rtol=0, atol=2e-3)
+
+
+def test_fleet_device_dsp_block_iir_interpret_close():
+    """FlacFleet with the Pallas block lowpass forced on (interpret mode):
+    per-lane output stays f32-close to the host f64 oracle — the full
+    integration path the TPU backend takes."""
+    datas = [make_flac(48000, 6, seed=70), make_flac(48000, 6, seed=71)]
+    host, _ = run_fleet(datas)
+    fleet = FlacFleet(len(datas), device_dsp=True)
+    fleet._block_iir = "interpret"
+    dev, _ = run_fleet(datas, fleet=fleet)
+    for a, b in zip(host, dev):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=5e-3)

@@ -243,3 +243,23 @@ def test_flac_lpc_pallas_routed_flow_matches_cpp():
     restored <<= sub["wasted"][:, None]
     keep = np.arange(T_max)[None, :] < sub["block"][:, None]
     np.testing.assert_array_equal(restored[keep], exp_flat)
+
+
+def test_iir_zero_kernel_matches_sequential():
+    """kernels/iir_pallas.py (interpret mode) vs the per-sample recurrence."""
+    import numpy as np
+    from aukit_tpu.kernels.iir_pallas import iir_zero_lanes
+
+    rng = np.random.default_rng(11)
+    L, T = 7, 300  # deliberately unaligned: exercises lane/time padding
+    x = (rng.standard_normal((L, T)) * 0.5).astype(np.float32)
+    for alpha in (0.9568, 0.12):
+        a, c = np.float32(alpha), np.float32(1.0 - alpha)
+        exp = np.empty_like(x)
+        for l in range(L):
+            y = np.float32(0.0)
+            for t in range(T):
+                y = a * x[l, t] + c * y
+                exp[l, t] = y
+        got = np.asarray(iir_zero_lanes(x, alpha, interpret=True))
+        np.testing.assert_allclose(got, exp, rtol=0, atol=2e-6)
