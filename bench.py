@@ -421,8 +421,11 @@ def bench_all():
 
         dev_s = _profiled_device_seconds(engine_pass, iters=1)
         if dev_s:
+            # the traced pass decodes ALL nsteps+1 chunks (the timed loop
+            # above decoded one fewer: its first chunk warmed the compile)
+            dev_decoded = lanes * chunk * 8 * (nsteps + 1)
             line["device_busy_ms_per_pass"] = round(dev_s * 1e3, 3)
-            line["device_only_realtime_x"] = round(decoded / dev_s / 48000, 1)
+            line["device_only_realtime_x"] = round(dev_decoded / dev_s / 48000, 1)
     lines.append(line)
 
     # mixed fleet: one engine, four codecs, three sample rates (heterogeneous
