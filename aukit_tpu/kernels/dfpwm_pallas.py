@@ -129,6 +129,103 @@ def dfpwm_decode_grouped(bytes_gm: jnp.ndarray, state_gm: jnp.ndarray, n_valid=N
     )(n_valid, bytes_gm, state_gm)
 
 
+def _decode_dsp_kernel(nvalid_ref, alpha_ref, bytes_ref, state_in_ref,
+                       mask_ref, out_ref, state_out_ref, st):
+    """Decode + fused DSP epilogue: normalize (/128|127), 1-tap smoothing
+    ``prev + alpha*(cur - prev)`` (dsp_chain's identity-rate form,
+    parallel/pipeline.py), int8 scale/clamp, and the per-lane ready mask —
+    all on the VMEM tile, so the f32 stream never touches HBM and masked
+    lanes emit zeros without a separate select pass. The smoothing carry
+    needs no extra state: the previous raw sample IS the lowpass field
+    (st[4]). State advances regardless of the mask — the engine restores
+    masked lanes' state outside (cheap [G,5,32,128] selects)."""
+    t = pl.program_id(1)
+    nvalid = nvalid_ref[0]
+    alpha = alpha_ref[0]
+
+    @pl.when(t == 0)
+    def _():
+        st[:] = state_in_ref[0]
+
+    def norm(v):
+        f = v.astype(jnp.float32)
+        return f / jnp.where(v < 0, 128.0, 127.0)
+
+    def body(i, carry):
+        q, s, lb, pq, lp = carry
+        rows = []
+        for u in range(UNROLL):
+            byte = bytes_ref[0, i * UNROLL + u].astype(jnp.int32)
+            nq, ns, nlb, npq, nlp = _decode_tile(byte, q, s, lb, pq, lp, rows)
+            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+            q = jnp.where(valid, nq, q)
+            s = jnp.where(valid, ns, s)
+            lb = jnp.where(valid, nlb, lb)
+            pq = jnp.where(valid, npq, pq)
+            lp = jnp.where(valid, nlp, lp)
+        prevf = norm(carry[4])  # raw sample before this iteration's 16
+        live = mask_ref[0, 0] != 0
+        outs = []
+        for r in rows:
+            f = norm(r)
+            o = prevf + alpha * (f - prevf)
+            o = o * jnp.where(o < 0, 128.0, 127.0)
+            q8 = jnp.clip(o, -128.0, 127.0).astype(jnp.int8)
+            outs.append(jnp.where(live, q8, 0))
+            prevf = f
+        out_ref[0, pl.ds(i * UNROLL * 8, UNROLL * 8)] = jnp.stack(outs)
+        return (q, s, lb, pq, lp)
+
+    init = (st[0], st[1], st[2], st[3], st[4])
+    q, s, lb, pq, lp = jax.lax.fori_loop(0, bytes_ref.shape[1] // UNROLL, body, init)
+    st[0], st[1], st[2], st[3], st[4] = q, s, lb, pq, lp
+    state_out_ref[0] = jnp.stack([q, s, lb, pq, lp])
+
+
+@functools.partial(jax.jit, static_argnums=(2, 5))
+def dfpwm_decode_dsp_grouped(bytes_gm: jnp.ndarray, state_gm: jnp.ndarray,
+                             alpha: float, n_valid=None, mask_gm=None,
+                             interpret: bool = False):
+    """Native-layout decode with the fused identity-rate DSP epilogue
+    (see _decode_dsp_kernel). Same shapes as dfpwm_decode_grouped; the
+    int8 output is the SMOOTHED, int8-scaled stream (the engine's
+    dsp_chain contract at in_rate == out_rate) rather than raw samples,
+    zeroed on lanes whose ``mask_gm`` (int32[G, 1, 32, 128], default all
+    live) entry is 0. The smoothing carry is implicit in the lowpass
+    state."""
+    G, B = bytes_gm.shape[0], bytes_gm.shape[1]
+    if n_valid is None:
+        n_valid = jnp.full((1,), B, jnp.int32)
+    if mask_gm is None:
+        mask_gm = jnp.ones((G, 1, SUB, LANE), jnp.int32)
+    alpha_arr = jnp.full((1,), np.float32(alpha), jnp.float32)
+    nt = B // TIME_TILE
+    return pl.pallas_call(
+        _decode_dsp_kernel,
+        grid=(G, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TIME_TILE, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TIME_TILE * 8, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 5, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, B * 8, SUB, LANE), jnp.int8),
+            jax.ShapeDtypeStruct((G, 5, SUB, LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((5, SUB, LANE), jnp.int32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")
+        ),
+        interpret=interpret,
+    )(n_valid, alpha_arr, bytes_gm, state_gm, mask_gm)
+
+
 def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref, st):
     t = pl.program_id(1)
     nvalid = nvalid_ref[0]  # true byte count
@@ -225,9 +322,12 @@ def lanes_to_groups(x: np.ndarray | jnp.ndarray, time_multiple: int):
 
 def groups_to_lanes(x: jnp.ndarray, L: int, T: int) -> jnp.ndarray:
     """[G, Tp, 32, 128] -> [L, T]"""
-    g = jnp.transpose(x, (0, 2, 3, 1))
-    flat = g.reshape(-1, x.shape[1])
-    return flat[:L, :T]
+    # slice the time padding BEFORE the transpose: XLA folds a leading-prefix
+    # slice into the relayout copy, where slicing the transposed result costs
+    # a separate full-array pass (profiled on the engine step)
+    g = jnp.transpose(x[:, :T], (0, 2, 3, 1))
+    flat = g.reshape(-1, T)
+    return flat[:L]
 
 
 def state_to_groups(state: DfpwmState, fields: int = 5) -> jnp.ndarray:
@@ -258,6 +358,29 @@ def dfpwm_decode_pallas(bytes_u8, state: DfpwmState | None = None, interpret: bo
     gm, _ = lanes_to_groups(bytes_u8, TIME_TILE)
     sg = state_to_groups(state, 5)
     out_gm, state_gm = dfpwm_decode_grouped(gm, sg, jnp.full((1,), B, jnp.int32), interpret)
+    out = groups_to_lanes(out_gm, L, B * 8)
+    return out, state_from_groups(state_gm, L)
+
+
+def dfpwm_decode_dsp_pallas(bytes_u8, state: DfpwmState | None = None,
+                            alpha: float = 0.0, mask=None,
+                            interpret: bool = False):
+    """Convenience wrapper for the fused decode+DSP kernel: uint8[L, B] ->
+    (int8[L, B*8] smoothed/int8-scaled samples, state). ``mask``: optional
+    bool[L] per-lane liveness — masked lanes emit zeros in-kernel."""
+    bytes_u8 = jnp.asarray(bytes_u8, jnp.uint8)
+    L, B = bytes_u8.shape
+    if state is None:
+        state = DfpwmState.zeros(L)
+    gm, _ = lanes_to_groups(bytes_u8, TIME_TILE)
+    sg = state_to_groups(state, 5)
+    mg = None
+    if mask is not None:
+        Lp = -(-L // GROUP) * GROUP
+        mg = jnp.pad(jnp.asarray(mask, jnp.int32), (0, Lp - L)).reshape(
+            Lp // GROUP, 1, SUB, LANE)
+    out_gm, state_gm = dfpwm_decode_dsp_grouped(
+        gm, sg, float(alpha), jnp.full((1,), B, jnp.int32), mg, interpret)
     out = groups_to_lanes(out_gm, L, B * 8)
     return out, state_from_groups(state_gm, L)
 

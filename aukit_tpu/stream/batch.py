@@ -297,6 +297,45 @@ class _Group:
         decode, self.stateful = build_decoder(self.spec, self.use_pallas)
         in_rate = self.spec.sample_rate
         state_def = self._state_def
+        # identity-rate DFPWM lanes (the flagship path): the normalize /
+        # 1-tap smoothing / int8 quantize epilogue runs INSIDE the decode
+        # kernel (dfpwm_decode_dsp_grouped) — the f32 stream never touches
+        # HBM. Profiled: the separate dsp_chain + select passes were ~60% of
+        # the engine's device time. Bit-identical to the two-stage path
+        # (tests/test_pallas_kernels.py fused-parity test); the smoothing
+        # carry is implicit in the lowpass state, so new_fir is derived
+        # rather than carried.
+        fused = (self.spec.codec == "dfpwm" and self.use_pallas
+                 and in_rate == out_rate)
+        if fused:
+            from ..kernels.dfpwm_pallas import dfpwm_decode_dsp_pallas
+
+            alpha = float(1.0 - np.exp(-(in_rate / (out_rate * 2)) * 2.0 * np.pi))
+
+            def step(bytes_u8, mask2d, fir, *state_leaves):
+                state = jax.tree_util.tree_unflatten(state_def, state_leaves)
+                mask1 = mask2d[:, 0]
+                out, new_state = dfpwm_decode_dsp_pallas(
+                    bytes_u8, state, alpha, mask=mask1)
+                lpf = new_state.lowpass.astype(jnp.float32)
+                new_fir = lpf / jnp.where(new_state.lowpass < 0, 128.0, 127.0)
+                new_fir = jnp.where(mask1, new_fir, fir)
+                new_leaves = [
+                    jnp.where(mask1, nl, ol)
+                    for nl, ol in zip(jax.tree_util.tree_leaves(new_state), state_leaves)
+                ]
+                return (out, new_fir, *new_leaves)
+
+            if self._sharding is None:
+                return jax.jit(step)
+            P = jax.sharding.PartitionSpec
+            state_sh = jax.sharding.NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
+            nstate = len(self._state_leaves)
+            return jax.jit(
+                step,
+                in_shardings=(self._sharding, self._sharding, state_sh) + (state_sh,) * nstate,
+                out_shardings=(self._sharding, state_sh) + (state_sh,) * nstate,
+            )
 
         def step(bytes_u8, mask2d, fir, *state_leaves):
             state = jax.tree_util.tree_unflatten(state_def, state_leaves)

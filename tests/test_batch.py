@@ -734,3 +734,47 @@ def test_batch_mixed_fleet_sharded_over_mesh():
         np.testing.assert_array_equal(cs, cp)
         np.testing.assert_array_equal(ms, mp)
         np.testing.assert_array_equal(ps, pp)
+
+
+def test_engine_fused_dfpwm_dsp_matches_scan_path(monkeypatch):
+    """The identity-rate DFPWM Pallas engine step routes through the fused
+    decode+DSP kernel (dfpwm_decode_dsp_pallas); its int8 windows and
+    carried fir/state must be BIT-IDENTICAL to the scan + dsp_chain engine.
+    Forced interpret mode stands in for the TPU backend on CPU."""
+    from aukit_tpu.kernels import dfpwm_pallas as kp
+
+    orig = kp.dfpwm_decode_dsp_grouped
+    monkeypatch.setattr(
+        kp, "dfpwm_decode_dsp_grouped",
+        lambda b, s, a, n=None, m=None, interpret=False: orig(b, s, a, n, m, True))
+    rng = np.random.default_rng(31)
+    lanes, chunk, steps = 8, 750, 3
+    # ragged feeds: lanes go not-ready at different steps, driving the
+    # in-kernel liveness mask and the outer state preservation
+    data = [rng.integers(0, 256, chunk * (1 + i % steps), dtype=np.uint8)
+            for i in range(lanes)]
+    outs = {}
+    for use_pallas in (True, False):
+        eng = BatchDfpwmDecoder(lanes, 48000, chunk_bytes=chunk,
+                                use_pallas=use_pallas)
+        for i, d in enumerate(data):
+            eng.feed(i, d.tobytes())
+            eng.feed(i, None)
+        got = []
+        while True:
+            r = eng.step()
+            if r is None:
+                break
+            got.append(np.asarray(r[0]))
+        outs[use_pallas] = (np.concatenate(got, axis=1),
+                            np.asarray(eng.groups[0].fir),
+                            eng.checkpoint(3))
+    np.testing.assert_array_equal(outs[True][0], outs[False][0])
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=0, atol=0)
+    a, b = outs[True][2], outs[False][2]
+    for k in a:
+        if isinstance(a[k], np.ndarray) or hasattr(a[k], "shape"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=k)
+        else:
+            assert a[k] == b[k], k

@@ -263,3 +263,32 @@ def test_iir_zero_kernel_matches_sequential():
                 exp[l, t] = y
         got = np.asarray(iir_zero_lanes(x, alpha, interpret=True))
         np.testing.assert_allclose(got, exp, rtol=0, atol=2e-6)
+
+
+def test_dfpwm_decode_dsp_fused_matches_dsp_chain():
+    """dfpwm_decode_dsp_grouped (fused normalize+smooth+int8 epilogue) vs the
+    two-stage decode -> dsp_chain reference, across TWO chained chunks so the
+    implicit smoothing carry (lowpass state as the previous raw sample) is
+    exercised at the boundary. Exact int8 equality."""
+    import jax.numpy as jnp
+    from aukit_tpu.parallel.pipeline import dsp_chain
+
+    G, B = 1, 256
+    alpha = float(1.0 - np.exp(-0.5 * 2.0 * np.pi))  # 48k identity-rate alpha
+    st_ref = jnp.zeros((G, 5, 32, 128), jnp.int32)
+    st_fus = jnp.zeros((G, 5, 32, 128), jnp.int32)
+    fir = jnp.zeros((G, 32, 128), jnp.float32)
+    for chunk in range(2):
+        data = jnp.asarray(
+            RNG.integers(0, 256, (G, B, 32, 128), dtype=np.uint8))
+        raw, st_ref = kp.dfpwm_decode_grouped(data, st_ref, interpret=True)
+        f = raw.astype(jnp.float32) / jnp.where(raw < 0, 128.0, 127.0)
+        # dsp_chain smooths along the last axis; kernel time axis is axis 1
+        fm = jnp.moveaxis(f, 1, -1)
+        exp, fir = dsp_chain(fm, 48000, 48000, fir_state=fir)
+        exp = jnp.moveaxis(exp, -1, 1)
+        got, st_fus = kp.dfpwm_decode_dsp_grouped(
+            data, st_fus, alpha, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(exp),
+                                      err_msg=f"chunk {chunk}")
+        np.testing.assert_array_equal(np.asarray(st_fus), np.asarray(st_ref))
