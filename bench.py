@@ -456,14 +456,36 @@ def bench_all():
         acc = acc + jnp.sum(jnp.asarray(r[0])[:, ::997].astype(jnp.int32))
     int(acc)
     dt = time.time() - t0
-    lines.append({"metric": f"batch_engine_mixed_realtime_{backend}",
-                  "value": round(out_samples / dt / 48000, 1),
-                  "unit": "x_realtime", "vs_baseline": None,
-                  "note": "heterogeneous 4-codec/3-rate fleet; device-resident "
-                          "windows; host-byte ingestion makes this number "
-                          "transfer-bound through this environment's ~3 MB/s "
-                          "remote-TPU tunnel (PCIe-attached chips ingest ~3000x "
-                          "faster)"})
+    line = {"metric": f"batch_engine_mixed_realtime_{backend}",
+            "value": round(out_samples / dt / 48000, 1),
+            "unit": "x_realtime", "vs_baseline": None,
+            "note": "heterogeneous 4-codec/3-rate fleet; device-resident "
+                    "windows; host-byte ingestion makes this number "
+                    "transfer-bound through this environment's ~3 MB/s "
+                    "remote-TPU tunnel (PCIe-attached chips ingest ~3000x "
+                    "faster)"}
+    if backend == "tpu":
+        # device-busy truth for the same mixed pass (decode dispatches +
+        # on-device window assembly; ingestion/transfer excluded)
+        def mixed_pass(_i):
+            m2 = BatchStreamEngine(specs)
+            for gi, a in enumerate(per_lane):
+                for s in range(ml):
+                    m2.feed(gi * ml + s, a[s].tobytes())
+                    m2.feed(gi * ml + s, None)
+            last = None
+            while True:
+                r = m2.step()
+                if r is None:
+                    return last
+                last = r[0]
+
+        dev_s = _profiled_device_seconds(mixed_pass, iters=1)
+        if dev_s:
+            line["device_busy_ms_per_pass"] = round(dev_s * 1e3, 3)
+            line["device_only_realtime_x"] = round(
+                out_samples / dev_s / 48000, 1)
+    lines.append(line)
 
     # config 7: FLAC fleet (stream/flac_fleet.py): N drip-fed FLAC streams,
     # ONE batched LPC-restore dispatch per step (VERDICT r2 item 1 — the
