@@ -749,9 +749,11 @@ def test_engine_fused_dfpwm_dsp_matches_scan_path(monkeypatch):
         lambda b, s, a, n=None, m=None, interpret=False: orig(b, s, a, n, m, True))
     rng = np.random.default_rng(31)
     lanes, chunk, steps = 8, 750, 3
-    # ragged feeds: lanes go not-ready at different steps, driving the
-    # in-kernel liveness mask and the outer state preservation
-    data = [rng.integers(0, 256, chunk * (1 + i % steps), dtype=np.uint8)
+    # ragged feeds: lanes go not-ready at different steps (driving the
+    # in-kernel liveness mask and the outer state preservation) and carry
+    # non-chunk-multiple tails (EOF zero-padding flows through both paths)
+    data = [rng.integers(0, 256, chunk * (1 + i % steps) + 37 * (i % 5),
+                         dtype=np.uint8)
             for i in range(lanes)]
     outs = {}
     for use_pallas in (True, False):
