@@ -38,6 +38,15 @@ def _resample_tables(n_in: int, in_rate: int, out_rate: int):
     return n_out, ffx.astype(np.int32), frac
 
 
+def fir_alpha(in_rate: int, out_rate: int) -> float:
+    """The chunk-DSP smoothing constant (aukit.lua:2365 ``lp_alpha``),
+    shared by every consumer — dsp_chain, the fused Pallas decode+DSP
+    epilogue (stream/batch.py), the single-stream chunk engine and the FLAC
+    paths. Bit-parity between the fused and two-stage engine paths depends
+    on both reading this exact value."""
+    return float(1.0 - np.exp(-(in_rate / (out_rate * 2)) * 2.0 * np.pi))
+
+
 def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000, fir_state=None):
     """float[..., T] @in_rate -> int8[..., T_out] @out_rate: linear resample +
     FIR smoothing (alpha per aukit.lua:2365) + int8 scale/clamp.
@@ -59,7 +68,7 @@ def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000, fir
         p1 = jnp.take(samples_f32, jnp.asarray(ffx), axis=-1)
         p2 = jnp.take(samples_f32, jnp.asarray(np.minimum(ffx + 1, n_in - 1)), axis=-1)
         s = p1 + (p2 - p1) * jnp.asarray(frac)
-    alpha = jnp.float32(1.0 - np.exp(-(in_rate / (out_rate * 2)) * 2.0 * np.pi))
+    alpha = jnp.float32(fir_alpha(in_rate, out_rate))
     first = jnp.zeros_like(s[..., :1]) if fir_state is None else fir_state[..., None]
     prev = jnp.concatenate([first, s[..., :-1]], axis=-1)
     out = prev + alpha * (s - prev)

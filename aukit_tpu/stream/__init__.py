@@ -22,6 +22,7 @@ import struct
 import numpy as np
 
 from ..config import CONFIG, get_interpolation
+from ..parallel.pipeline import fir_alpha
 from ..utils.validation import check_bit_depth, check_data_type
 from .engine import ChunkResampler, iir_lowpass_scan, lua_block_resample
 from .sources import ByteSource, PcmFrameSource
@@ -673,7 +674,7 @@ def flac(data, mono: bool = False):
                 raise flac_codec.FlacError("unexpected end of FLAC stream")
             buf.extend(more)
     mode = get_interpolation(None)
-    alpha = 1.0 - math.exp(-(sample_rate / (CONFIG.output_rate * 2)) * 2.0 * math.pi)
+    alpha = fir_alpha(sample_rate, CONFIG.output_rate)
     full = 1 << depth
 
     def frames():
@@ -771,7 +772,7 @@ def qoa(data, mono: bool = False):
     channels = buf[8]
     sample_rate = int.from_bytes(bytes(buf[9:12]), "big")
     mode = get_interpolation(None)
-    alpha = 1.0 - math.exp(-(sample_rate / (CONFIG.output_rate * 2)) * 2.0 * math.pi)
+    alpha = fir_alpha(sample_rate, CONFIG.output_rate)
     last = np.zeros((channels, 2), np.float64)
     ls = np.zeros(channels, np.float64)
     in_pos = 0

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import CONFIG
-from ..parallel.pipeline import dsp_chain
+from ..parallel.pipeline import dsp_chain, fir_alpha
 from .batch_codecs import LaneSpec, build_decoder, geometry, init_state
 
 __all__ = ["LaneSpec", "BatchStreamEngine", "BatchDfpwmDecoder", "BatchMetrics"]
@@ -310,7 +310,7 @@ class _Group:
         if fused:
             from ..kernels.dfpwm_pallas import dfpwm_decode_dsp_pallas
 
-            alpha = float(1.0 - np.exp(-(in_rate / (out_rate * 2)) * 2.0 * np.pi))
+            alpha = fir_alpha(in_rate, out_rate)
 
             def step(bytes_u8, mask2d, fir, *state_leaves):
                 state = jax.tree_util.tree_unflatten(state_def, state_leaves)

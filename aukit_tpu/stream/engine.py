@@ -42,6 +42,7 @@ import numpy as np
 
 from ..config import CONFIG
 from ..ops.resample import INTERPOLATION_END, INTERPOLATION_START, sinc_weights
+from ..parallel.pipeline import fir_alpha
 
 
 @functools.lru_cache(maxsize=256)
@@ -317,7 +318,7 @@ class ChunkResampler:
         self.window = CONFIG.sinc_window_size
         self.plan = stream_plan(self.in_rate, self.out_rate, self.mode, self.chunk, self.window)
         self.lowpass = lowpass
-        self.alpha = 1.0 - math.exp(-(self.in_rate / (self.out_rate * 2)) * 2.0 * math.pi)
+        self.alpha = fir_alpha(self.in_rate, self.out_rate)
         self.scale_int8 = scale_int8
         self.floor_output = floor_output
         self.interp_clamp = interp_clamp

@@ -48,6 +48,7 @@ import numpy as np
 
 from ..codecs import flac as flac_codec
 from ..config import CONFIG, get_interpolation
+from ..parallel.pipeline import fir_alpha
 from .batch import BatchMetrics
 from .engine import block_resample_plan, iir_lowpass_scan, lua_block_resample
 
@@ -306,7 +307,7 @@ class FlacFleet:
         except flac_codec.FlacError as e:
             ln.ended, ln.error = True, str(e)
             return False
-        ln.alpha = 1.0 - math.exp(-(ln.rate / (self.out_rate * 2)) * 2.0 * math.pi)
+        ln.alpha = fir_alpha(ln.rate, self.out_rate)
         ln.last = np.zeros((ln.channels, 2), np.float64)
         ln.ls = np.zeros(ln.channels, np.float64)
         return True

@@ -211,6 +211,16 @@ def bench_all():
                 rate * KERNEL_OPS_PER_SAMPLE[codec] / VPU_PEAK_INT_OPS, 4)
         return line
 
+    def attach_device_busy(line, pass_fn, samples):
+        """Device-busy truth for a whole engine/fleet pass: total XLA-Ops
+        time of one traced run — what a locally-attached chip pays once
+        host staging/transfer is off the critical path."""
+        dev_s = _profiled_device_seconds(pass_fn, iters=1)
+        if dev_s:
+            line["device_busy_ms_per_pass"] = round(dev_s * 1e3, 3)
+            line["device_only_realtime_x"] = round(samples / dev_s / 48000, 1)
+        return line
+
     # config 1: stream.wav 16-bit PCM -> 48k mono linear (host chunk engine)
     import aukit_tpu as ak
     from tests import fixtures as _  # noqa: F401  (not used; avoids heavy imports)
@@ -419,13 +429,9 @@ def bench_all():
                     return last
                 last = r[0]
 
-        dev_s = _profiled_device_seconds(engine_pass, iters=1)
-        if dev_s:
-            # the traced pass decodes ALL nsteps+1 chunks (the timed loop
-            # above decoded one fewer: its first chunk warmed the compile)
-            dev_decoded = lanes * chunk * 8 * (nsteps + 1)
-            line["device_busy_ms_per_pass"] = round(dev_s * 1e3, 3)
-            line["device_only_realtime_x"] = round(dev_decoded / dev_s / 48000, 1)
+        # the traced pass decodes ALL nsteps+1 chunks (the timed loop above
+        # decoded one fewer: its first chunk warmed the compile)
+        attach_device_busy(line, engine_pass, lanes * chunk * 8 * (nsteps + 1))
     lines.append(line)
 
     # mixed fleet: one engine, four codecs, three sample rates (heterogeneous
@@ -480,11 +486,7 @@ def bench_all():
                     return last
                 last = r[0]
 
-        dev_s = _profiled_device_seconds(mixed_pass, iters=1)
-        if dev_s:
-            line["device_busy_ms_per_pass"] = round(dev_s * 1e3, 3)
-            line["device_only_realtime_x"] = round(
-                out_samples / dev_s / 48000, 1)
+        attach_device_busy(line, mixed_pass, out_samples)
     lines.append(line)
 
     # config 7: FLAC fleet (stream/flac_fleet.py): N drip-fed FLAC streams,
@@ -537,11 +539,7 @@ def bench_all():
             return fdev.metrics.samples_decoded
 
         device_fleet_pass(0)  # compile the restore/DSP kernels off-trace
-        dev_s = _profiled_device_seconds(device_fleet_pass, iters=1)
-        if dev_s:
-            line["device_busy_ms_per_pass"] = round(dev_s * 1e3, 3)
-            line["device_only_realtime_x"] = round(
-                fl_lanes * nfr * n / dev_s / 48000, 1)
+        attach_device_busy(line, device_fleet_pass, fl_lanes * nfr * n)
     lines.append(line)
 
     # config 8: staging microbench (VERDICT r2 item 8): column-view chunk

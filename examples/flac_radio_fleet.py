@@ -63,7 +63,6 @@ def main(stations: int = 64, seconds: int = 6):
 
     t0 = time.time()
     windows = 0
-    out_samples = 0
     while not fleet.done:
         for i in range(stations):
             if offs[i] < len(feeds[i]):
@@ -76,11 +75,12 @@ def main(stations: int = 64, seconds: int = 6):
         if r is not None:
             window, mask, positions = r
             windows += 1
-            out_samples += int(mask.sum()) * window.shape[1]
             live = int(mask.sum())
             print(f"tick {windows:3d}: {live:4d}/{stations} lanes emitted, "
                   f"lead position {positions.max():6.2f}s")
     dt = time.time() - t0
+    # metrics count the actual per-lane take (final windows are zero-padded)
+    out_samples = fleet.metrics.samples_decoded
     errs = [i for i in range(stations) if fleet.lane_error(i)]
     print(f"\n{out_samples} samples from {stations} stations in {dt:.2f}s "
           f"({out_samples / dt / 48000:.0f}x realtime aggregate); "
