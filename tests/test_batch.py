@@ -780,3 +780,32 @@ def test_engine_fused_dfpwm_dsp_matches_scan_path(monkeypatch):
                                           err_msg=k)
         else:
             assert a[k] == b[k], k
+
+
+def test_engine_fused_dfpwm_sharded_over_mesh(monkeypatch):
+    """The fused decode+DSP step also builds under a mesh (the in/out
+    shardings branch): sharded fused == unsharded fused == scan path,
+    bit-exactly (forced interpret stands in for the TPU backend)."""
+    from aukit_tpu.kernels import dfpwm_pallas as kp
+    from aukit_tpu.parallel.pipeline import make_mesh
+
+    orig = kp.dfpwm_decode_dsp_grouped
+    monkeypatch.setattr(
+        kp, "dfpwm_decode_dsp_grouped",
+        lambda b, s, a, n=None, m=None, interpret=False: orig(b, s, a, n, m, True))
+    rng = np.random.default_rng(41)
+    lanes, chunk = 8, 750
+    data = rng.integers(0, 256, (lanes, chunk * 2), dtype=np.uint8)
+    outs = []
+    for mesh in (make_mesh(8), None):
+        eng = BatchDfpwmDecoder(lanes, 48000, chunk_bytes=chunk,
+                                mesh=mesh, use_pallas=True)
+        eng.feed_array(data)
+        got = []
+        while True:
+            r = eng.step()
+            if r is None:
+                break
+            got.append(np.asarray(r[0]))
+        outs.append(np.concatenate(got, axis=1))
+    np.testing.assert_array_equal(outs[0], outs[1])
