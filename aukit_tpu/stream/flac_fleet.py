@@ -70,6 +70,14 @@ def _device_resample_fn(n: int, in_rate: int, out_rate: int, mode: str, window: 
     import jax.numpy as jnp
 
     out_len, ffx0, frac, exact, _w = block_resample_plan(n, in_rate, out_rate, mode, window)
+    if out_len == n and exact.all() and (ffx0 == np.arange(n)).all():
+        # identity rate: every output is an exact passthrough of ext[i+2]
+        # (p1 + (p2-p1)*0 == p1 bit-for-bit) — a pure slice, no gather
+        @jax.jit
+        def fn(ext):
+            return ext[..., 2:2 + out_len]
+
+        return fn, out_len
     ffx = jnp.asarray(ffx0 + 2)
     fracj = jnp.asarray(frac.astype(np.float32))
     exactj = jnp.asarray(exact)
