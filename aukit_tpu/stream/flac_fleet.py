@@ -94,6 +94,71 @@ def _device_resample_fn(n: int, in_rate: int, out_rate: int, mode: str, window: 
     return fn, out_len
 
 
+@functools.lru_cache(maxsize=64)
+def _device_decode_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
+                      n: int, rate: int, out_rate: int, mode: str,
+                      window: int, interpret: bool):
+    """Jitted device-resident decode chain for ONE uniform geometry:
+    scattered residuals int32[Sp, n] -> Pallas LPC restore -> wasted-bits
+    shift -> stereo decorrelation butterflies -> sign wrap -> f32 normalize
+    (*2^-depth, exact) -> history-free per-block resample ("none"/"linear"
+    never index the 2 history columns: ffx0 >= 0 and the p2 edge clamp hits
+    the block's own last sample) -> (res f32[F, C, out_len],
+    tail f32[F, C, <=2] raw dec tails for the host-side history mirror).
+    Composes with _device_block_iir_scale_fn: the decoded stream never
+    visits the host between parse and the final windows."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.flac_pallas import lpc_restore_pallas
+
+    out_len, ffx0, frac, exact, _w = block_resample_plan(
+        n, rate, out_rate, mode, window)
+    identity = bool(out_len == n and exact.all()
+                    and (ffx0 == np.arange(n)).all())
+    ffx = jnp.asarray(ffx0)
+    fracj = jnp.asarray(frac.astype(np.float32))
+    exactj = jnp.asarray(exact)
+    half = 1 << (depth - 1)
+    full = 1 << depth
+    scale = np.float32(1.0) / np.float32(1 << depth)  # /2^depth, exact
+
+    @jax.jit
+    def fn(vals, orders, shifts, blocks, coefs, wasted):
+        restored = lpc_restore_pallas(
+            vals, orders, shifts, blocks, coefs, interpret, K)  # [Sp, n] i32
+        restored = restored << wasted[:, None]
+        F = vals.shape[0] // nsubs
+        rows = restored.reshape(F, nsubs, n)
+        if chan_asgn <= 7:
+            chans = rows
+        else:
+            a, b = rows[:, 0], rows[:, 1]
+            if chan_asgn == 8:  # left/side
+                b = a - b
+            elif chan_asgn == 9:  # side/right
+                a = a + b
+            else:  # mid/side
+                side = b
+                right = a - (side >> 1)
+                b = right
+                a = right + side
+            chans = jnp.stack([a, b], axis=1)
+        wrapped = jnp.where(chans >= half, chans - full, chans)
+        dec = wrapped.astype(jnp.float32) * scale  # [F, C, n]
+        if identity:
+            res = dec
+        elif mode == "none":
+            res = jnp.take(dec, jnp.clip(ffx, 0, n - 1), axis=-1)
+        else:
+            p1 = jnp.take(dec, jnp.clip(ffx, 0, n - 1), axis=-1)
+            p2 = jnp.take(dec, jnp.minimum(ffx + 1, n - 1), axis=-1)
+            res = jnp.where(exactj, p1, p1 + (p2 - p1) * fracj)
+        return res, dec[..., max(0, n - 2):]
+
+    return fn, out_len
+
+
 @functools.lru_cache(maxsize=128)
 def _device_block_iir_scale_fn(out_len: int, alpha: float, mono: bool,
                                interpret: bool):
@@ -357,9 +422,108 @@ class FlacFleet:
                     ln.ended, ln.error = True, "undecodable FLAC stream"
         return parsed
 
+    def _device_full_step(self, parsed):
+        """Fully device-resident step for ONE uniform geometry: residual
+        scatter -> [restore -> decorrelate -> normalize -> resample] ->
+        [block IIR -> chain -> scale -> mask] as two device dispatches with
+        NO intermediate host transfer (the host handles only parse metadata
+        and the final window fetch). Returns {lane: f32[take]} or None when
+        the step's geometry is mixed (short final frames, mid-stream format
+        changes) — the caller falls back to the staged host path."""
+        import jax.numpy as jnp
+
+        from ..kernels.flac_pallas import _order_bucket
+
+        lanes = [p[0] for p in parsed]
+        l0 = self._lanes[lanes[0]]
+        rate, C, depth = l0.rate, l0.channels, l0.depth
+        if depth > 24 or any(
+                (self._lanes[li].rate, self._lanes[li].channels,
+                 self._lanes[li].depth) != (rate, C, depth) for li in lanes):
+            return None
+        fm_all = np.concatenate([p[1] for p in parsed])
+        n, asgn = int(fm_all[0, 0]), int(fm_all[0, 1])
+        if n < 2 or not ((fm_all[:, 0] == n).all()
+                         and (fm_all[:, 1] == asgn).all()):
+            return None
+        blocks_all = np.concatenate([p[2]["block"] for p in parsed])
+        if not (blocks_all == n).all():
+            return None
+        nsubs = C if asgn <= 7 else 2
+
+        orders = np.concatenate([p[2]["order"] for p in parsed])
+        shifts = np.concatenate([p[2]["shift"] for p in parsed])
+        wasted = np.concatenate([p[2]["wasted"] for p in parsed])
+        coefs = np.concatenate([p[3] for p in parsed]).astype(np.int32)
+        values = np.concatenate([p[4] for p in parsed])
+        S = len(orders)
+        Sp = _bucket(max(S, nsubs))  # pow2 row padding bounds recompiles
+        Sp += (-Sp) % nsubs
+        vals = np.zeros((Sp, n), np.int32)
+        vals[:S] = values.reshape(S, n)
+        pad = np.zeros(Sp - S, np.int32)
+        meta = [np.concatenate([a.astype(np.int32), pad])
+                for a in (orders, shifts, wasted)]
+        blk = np.full(Sp, n, np.int32)
+        cf = np.zeros((Sp, coefs.shape[1]), np.int32)
+        cf[:S] = coefs
+        K = _order_bucket(int(orders.max()) if S else 1)
+
+        interpret = self._block_iir == "interpret"
+        fn_a, out_len = _device_decode_fn(
+            K, nsubs, asgn, depth, n, rate, self.out_rate, self.mode,
+            CONFIG.sinc_window_size, interpret)
+        if out_len == 0:
+            return None
+        res, tails = fn_a(jnp.asarray(vals), jnp.asarray(meta[0]),
+                          jnp.asarray(meta[1]), jnp.asarray(blk),
+                          jnp.asarray(cf), jnp.asarray(meta[2]))
+
+        # lane -> its frame rows (contiguous per lane, time order preserved)
+        fstarts = np.concatenate(
+            [[0], np.cumsum([len(p[1]) for p in parsed])])
+        Lb = _bucket(len(lanes))
+        m_max = _bucket(max(len(p[1]) for p in parsed))
+        idx = np.zeros((Lb, m_max), np.int64)
+        tval = np.zeros(Lb, np.int32)
+        ls = np.zeros((Lb, C), np.float32)
+        for i, li in enumerate(lanes):
+            F_li = len(parsed[i][1])
+            idx[i, :F_li] = fstarts[i] + np.arange(F_li)
+            tval[i] = F_li * out_len
+            ls[i] = self._lanes[li].ls
+        alpha = float(l0.alpha)
+        fn_b = _device_block_iir_scale_fn(out_len, alpha, C > 1, interpret)
+        scaled, new_state = fn_b(res, jnp.asarray(idx), jnp.asarray(tval),
+                                 jnp.asarray(ls))
+        scaled = np.asarray(scaled)
+        new_state = np.asarray(new_state)
+        tails = np.asarray(tails)  # [F, C, <=2] raw dec tails (tiny fetch)
+        out = {}
+        for i, li in enumerate(lanes):
+            ln = self._lanes[li]
+            ln.ls = new_state[i].astype(np.float64)
+            last_tail = tails[fstarts[i + 1] - 1].astype(np.float64)
+            if last_tail.shape[1] >= 2:
+                ln.last = last_tail[:, -2:].copy()
+            else:
+                ln.last = np.concatenate(
+                    [ln.last[:, -1:], last_tail], axis=1)[:, -2:]
+            out[li] = scaled[i, : tval[i]]
+        return out
+
     def _decode_step(self, parsed):
         """One fleet-wide LPC restore, then per-lane decorrelate + batched
         rounds of resample/lowpass; scaled output lands in the lane FIFOs."""
+        if (self.device_dsp and self.device_restore
+                and self.mesh is None and self.mode in ("none", "linear")):
+            dev_out = self._device_full_step(parsed)
+            if dev_out is not None:
+                for li, samples in dev_out.items():
+                    ln = self._lanes[li]
+                    ln.fifo.append(samples)
+                    ln.fill += len(samples)
+                return
         sub_all = {k: np.concatenate([p[2][k] for p in parsed])
                    for k in ("order", "shift", "wasted", "block")}
         coefs_all = np.concatenate([p[3] for p in parsed])

@@ -479,3 +479,34 @@ def test_fleet_device_dsp_block_iir_interpret_close():
     for a, b in zip(host, dev):
         assert a.shape == b.shape
         np.testing.assert_allclose(b, a, atol=5e-3)
+
+
+def test_fleet_fully_device_resident_step_close():
+    """device_restore=True + device_dsp=True with uniform geometry routes
+    through _device_full_step: parse metadata is the only host input and the
+    final windows the only fetch (restore -> decorrelate -> normalize ->
+    resample -> IIR -> scale all on device). Per-lane f32-closeness to the
+    host f64 oracle, mono AND mid/side stereo, drip-fed."""
+    for kwargs in ({"seed": 80}, {"seed": 81, "channels": 2, "chan_asgn": 10}):
+        datas = [make_flac(48000, 6, **kwargs),
+                 make_flac(48000, 6, **{**kwargs, "seed": kwargs["seed"] + 5})]
+        host, _ = run_fleet(datas, chunk=4000)
+        fleet = FlacFleet(len(datas), device_restore=True, device_dsp=True)
+        fleet._block_iir = "interpret"
+        dev, fl = run_fleet(datas, chunk=4000, fleet=fleet)
+        for a, b in zip(host, dev):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(b, a, atol=5e-3)
+
+
+def test_fleet_device_resident_mixed_geometry_falls_back():
+    """A step whose frames span two block sizes (short final frame arriving
+    with earlier full frames) is rejected by _device_full_step and decodes
+    through the staged host path — outputs identical to a host-only fleet."""
+    datas = [make_flac(44100, 3, seed=85), make_flac(44100, 3, seed=86)]
+    host, _ = run_fleet(datas)  # whole-file feed: final short frame mixes in
+    fleet = FlacFleet(len(datas), device_restore=True, device_dsp=True)
+    fleet._block_iir = "interpret"
+    dev, _ = run_fleet(datas, fleet=fleet)
+    for a, b in zip(host, dev):
+        np.testing.assert_allclose(b, a, atol=5e-3)
