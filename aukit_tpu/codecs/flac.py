@@ -382,7 +382,7 @@ def parse_all_frames(data: bytes, pos: int, channels: int, depth: int, use_nativ
 
 
 def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None,
-                 mesh=None):
+                 mesh=None, interpret: bool = False):
     """Batched LPC restore (+ wasted-bits shift) over a FLAT subframe batch:
     one contiguous span of warmup+residuals per subframe (the parser layout).
     Returns restored_flat int64[sum(block)].
@@ -427,7 +427,8 @@ def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None
             from ..kernels.flac_pallas import lpc_restore_pallas
 
             restored = np.asarray(lpc_restore_pallas(
-                vals, sub["order"], sub["shift"], sub["block"], coefs)).astype(np.int64)
+                vals, sub["order"], sub["shift"], sub["block"], coefs,
+                interpret)).astype(np.int64)
         restored <<= sub["wasted"][:, None]
         return restored[keep]
     if _nb.available():

@@ -532,7 +532,8 @@ class FlacFleet:
         restored = flac_codec.restore_flat(
             sub_all, coefs_all, values_all, depth_max,
             device=self.device_restore,
-            mesh=self.mesh if depth_max <= 24 else None)
+            mesh=self.mesh if depth_max <= 24 else None,
+            interpret=self._block_iir == "interpret")
         voffs = np.concatenate(
             [[0], np.cumsum([int(p[2]["block"].sum()) for p in parsed])])
 

@@ -139,9 +139,10 @@ def test_fleet_one_restore_dispatch_spans_lanes(monkeypatch):
     calls = []
     real = flac_codec.restore_flat
 
-    def spy(sub, coefs, values, depth, device=None, mesh=None):
+    def spy(sub, coefs, values, depth, device=None, mesh=None, interpret=False):
         calls.append(len(sub["order"]))
-        return real(sub, coefs, values, depth, device=device, mesh=mesh)
+        return real(sub, coefs, values, depth, device=device, mesh=mesh,
+                    interpret=interpret)
 
     monkeypatch.setattr(flac_codec, "restore_flat", spy)
     datas = [make_flac(48000, 6, seed=i) for i in range(5)]
@@ -281,16 +282,15 @@ def test_fleet_device_restore_route_bit_exact(monkeypatch):
     """The fleet with ``device_restore=True`` routes the whole batch through
     the Pallas LPC kernel (interpret mode on CPU; compiled on TPU) and stays
     bit-identical to the host-restore run."""
-    import functools
-
     import jax
 
     from aukit_tpu.kernels import flac_pallas as fp
 
     if jax.default_backend() != "tpu":
+        real = fp.lpc_restore_pallas
         monkeypatch.setattr(
             fp, "lpc_restore_pallas",
-            functools.partial(fp.lpc_restore_pallas, interpret=True))
+            lambda v, o, s, b, c, interpret=False, K=None: real(v, o, s, b, c, True, K))
     datas = [make_flac(48000, 6, seed=i, channels=2, chan_asgn=10)
              for i in range(3)]
     host, _ = run_fleet(datas, fleet=FlacFleet(3, device_restore=False))
@@ -502,11 +502,22 @@ def test_fleet_fully_device_resident_step_close():
 def test_fleet_device_resident_mixed_geometry_falls_back():
     """A step whose frames span two block sizes (short final frame arriving
     with earlier full frames) is rejected by _device_full_step and decodes
-    through the staged host path — outputs identical to a host-only fleet."""
-    datas = [make_flac(44100, 3, seed=85), make_flac(44100, 3, seed=86)]
-    host, _ = run_fleet(datas)  # whole-file feed: final short frame mixes in
-    fleet = FlacFleet(len(datas), device_restore=True, device_dsp=True)
+    through the staged host path (device restore still on) — outputs close
+    to a host-only fleet. A spy asserts BOTH routes actually ran."""
+    calls = {"full": 0, "fallback": 0}
+
+    class Spy(FlacFleet):
+        def _device_full_step(self, parsed):
+            r = super()._device_full_step(parsed)
+            calls["full" if r is not None else "fallback"] += 1
+            return r
+
+    datas = [make_flac(44100, 4, seed=85, final_short=300),
+             make_flac(44100, 4, seed=86, final_short=500)]
+    host, _ = run_fleet(datas)
+    fleet = Spy(len(datas), device_restore=True, device_dsp=True)
     fleet._block_iir = "interpret"
     dev, _ = run_fleet(datas, fleet=fleet)
+    assert calls["full"] >= 1 and calls["fallback"] >= 1, calls
     for a, b in zip(host, dev):
         np.testing.assert_allclose(b, a, atol=5e-3)

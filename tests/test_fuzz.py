@@ -348,3 +348,55 @@ def test_batch_encoder_schedule_invariance():
     for seed in (9, 10):
         np.testing.assert_array_equal(run(np.random.default_rng(seed)), ref,
                                       err_msg=f"seed {seed}")
+
+
+def test_fuzz_fleet_device_resident_drip_invariance():
+    """The fully device-resident fleet path under random drip cadences: steps
+    alternate unpredictably between _device_full_step (uniform geometry) and
+    the staged host fallback (short final frames / sub-chunk arrivals), with
+    per-lane history/lowpass state crossing the f32/f64 boundary at every
+    handoff. Output must stay f32-close to the pure host fleet for every
+    cadence."""
+    import jax
+    from tests.test_flac_fleet import make_flac
+    from aukit_tpu.stream.flac_fleet import FlacFleet
+
+    datas = [make_flac(48000, 8, seed=120, final_short=300),
+             make_flac(48000, 8, seed=121, channels=2, chan_asgn=10),
+             make_flac(44100, 6, seed=122)]
+
+    def run(fleet, rng):
+        outs = [[] for _ in datas]
+        offs = [0] * len(datas)
+        eof = [False] * len(datas)
+        guard = 0
+        while not fleet.done:
+            for i, d in enumerate(datas):
+                if offs[i] < len(d):
+                    step = int(rng.integers(700, 9000))
+                    fleet.feed(i, d[offs[i]: offs[i] + step])
+                    offs[i] += step
+                elif not eof[i]:
+                    fleet.feed(i, None)
+                    eof[i] = True
+            r = fleet.step()
+            if r is not None:
+                window, mask, _pos = r
+                for i in range(len(datas)):
+                    if mask[i]:
+                        outs[i].append(np.asarray(window[i]))
+            guard += 1
+            assert guard < 500
+        return [np.concatenate(o) if o else np.zeros(0, np.float32)
+                for o in outs]
+
+    for seed in (0, 1, 2):
+        rng_h = np.random.default_rng(1000 + seed)
+        rng_d = np.random.default_rng(1000 + seed)
+        host = run(FlacFleet(len(datas)), rng_h)
+        dev_fleet = FlacFleet(len(datas), device_restore=True, device_dsp=True)
+        dev_fleet._block_iir = "interpret"
+        dev = run(dev_fleet, rng_d)
+        for a, b in zip(host, dev):
+            assert a.shape == b.shape, seed
+            np.testing.assert_allclose(b, a, atol=5e-3, err_msg=str(seed))
