@@ -60,6 +60,7 @@ def _decode_tile(byte, q, s, lb, pq, lp, out_rows):
 
 
 UNROLL = 2  # bytes per loop iteration (measured +25% over 1; 4 regresses)
+assert TIME_TILE % UNROLL == 0  # fori_loop count floors; a non-divisor would drop samples
 
 
 def _decode_kernel(nvalid_ref, bytes_ref, state_in_ref, out_ref, state_out_ref, st):

@@ -50,6 +50,7 @@ UNROLL = 8  # samples per loop iteration. Device-profiled (v5e, order 8,
 # int32 multiplies (VPUs emulate 32-bit integer multiply), not by the
 # window shift or loop overhead — an f32-exact product decomposition costs
 # about the same op count, so this is the int-exact speed of light here.
+assert TIME_TILE % UNROLL == 0  # fori_loop count floors; a non-divisor would drop samples
 
 
 def _lpc_kernel(K, vals_ref, meta_ref, coef_ref, out_ref, win):

@@ -33,6 +33,7 @@ LANE = 128
 GROUP = SUB * LANE
 TIME_TILE = 128  # f32 in+out double-buffered blocks stay inside scoped VMEM
 UNROLL = 8
+assert TIME_TILE % UNROLL == 0  # fori_loop count floors; a non-divisor would drop samples
 
 
 def _iir_kernel(ab_ref, x_ref, out_ref, st):

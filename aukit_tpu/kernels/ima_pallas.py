@@ -31,6 +31,7 @@ UNROLL = 32  # nibbles per loop iteration. Device-profiled sweep (v5e, XLA-Ops
 # plane, G=4 T=8192): u2 1.92 ms, u4 1.23 ms, u8 0.93 ms, u16 0.80 ms,
 # u32 0.75 ms — the step-table gather pipelines across unrolled iterations
 # (a no-gather twin measures 0.68 ms at u4: the lookup is the inherent cost).
+assert TIME_TILE % UNROLL == 0  # fori_loop count floors; a non-divisor would drop samples
 
 _STEP_TBL_PADDED = np.pad(IMA_STEP_TABLE, (0, LANE - len(IMA_STEP_TABLE))).astype(np.int32)
 

@@ -33,6 +33,7 @@ GROUP = SUB * LANE
 TIME_TILE = 512  # nibbles per grid step
 UNROLL = 8  # nibbles per loop iteration (device-profiled: u4 0.92 ms,
 # u8 0.90 ms, u16 ties u8 at G=4 T=8192 — the recurrence is ALU-bound)
+assert TIME_TILE % UNROLL == 0  # fori_loop count floors; a non-divisor would drop samples
 
 
 def _adapt(nib, m):

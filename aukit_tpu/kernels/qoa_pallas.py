@@ -34,6 +34,7 @@ TIME_TILE = 256  # samples per grid step (512 int16 in+out blocks
 
 UNROLL = 8  # samples per loop iteration (device-profiled: u4 0.59 ms,
 # u8 0.57 ms, u16 ties u8 at G=4 T=5120 — the LMS recurrence is ALU-bound)
+assert TIME_TILE % UNROLL == 0  # fori_loop count floors; a non-divisor would drop samples
 
 
 def _qoa_kernel(nvalid_ref, dq_ref, state_ref, out_ref, state_out_ref, st):

@@ -154,7 +154,7 @@ def _device_decode_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
             p1 = jnp.take(dec, jnp.clip(ffx, 0, n - 1), axis=-1)
             p2 = jnp.take(dec, jnp.minimum(ffx + 1, n - 1), axis=-1)
             res = jnp.where(exactj, p1, p1 + (p2 - p1) * fracj)
-        return res, dec[..., max(0, n - 2):]
+        return res, dec[..., n - 2:]  # caller guards n >= 2
 
     return fn, out_len
 
@@ -503,19 +503,20 @@ class FlacFleet:
         for i, li in enumerate(lanes):
             ln = self._lanes[li]
             ln.ls = new_state[i].astype(np.float64)
-            last_tail = tails[fstarts[i + 1] - 1].astype(np.float64)
-            if last_tail.shape[1] >= 2:
-                ln.last = last_tail[:, -2:].copy()
-            else:
-                ln.last = np.concatenate(
-                    [ln.last[:, -1:], last_tail], axis=1)[:, -2:]
+            # n >= 2 is guarded above, so the tail is always exactly 2 wide
+            ln.last = tails[fstarts[i + 1] - 1].astype(np.float64).copy()
             out[li] = scaled[i, : tval[i]]
         return out
 
     def _decode_step(self, parsed):
         """One fleet-wide LPC restore, then per-lane decorrelate + batched
         rounds of resample/lowpass; scaled output lands in the lane FIFOs."""
-        if (self.device_dsp and self.device_restore
+        # full device residency needs the restore device-capable: explicit
+        # True, or the None default on a backend where _block_iir is active
+        # (TPU, or forced interpret in tests) — only an explicit
+        # device_restore=False opts out
+        if (self.device_dsp and self._block_iir
+                and self.device_restore is not False
                 and self.mesh is None and self.mode in ("none", "linear")):
             dev_out = self._device_full_step(parsed)
             if dev_out is not None:
@@ -759,8 +760,7 @@ class FlacFleet:
         ln.stalled_at = ckpt.get("stalled_at")
         if ckpt["header"] is not None:
             ln.rate, ln.channels, ln.depth, ln.num_samples, ln.meta = ckpt["header"]
-            ln.alpha = 1.0 - math.exp(
-                -(ln.rate / (self.out_rate * 2)) * 2.0 * math.pi)
+            ln.alpha = fir_alpha(ln.rate, self.out_rate)
             ln.last = np.array(ckpt["last"], np.float64)
             ln.ls = np.array(ckpt["ls"], np.float64)
         fifo = np.asarray(ckpt["fifo"], np.float32)

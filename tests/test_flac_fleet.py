@@ -468,12 +468,13 @@ def test_device_block_iir_matches_doubling_twin():
 
 
 def test_fleet_device_dsp_block_iir_interpret_close():
-    """FlacFleet with the Pallas block lowpass forced on (interpret mode):
-    per-lane output stays f32-close to the host f64 oracle — the full
-    integration path the TPU backend takes."""
+    """The STAGED device-DSP path with the Pallas block lowpass (interpret
+    mode; device_restore=False pins the staged route now that the default
+    routes uniform steps fully device-resident): per-lane output stays
+    f32-close to the host f64 oracle."""
     datas = [make_flac(48000, 6, seed=70), make_flac(48000, 6, seed=71)]
     host, _ = run_fleet(datas)
-    fleet = FlacFleet(len(datas), device_dsp=True)
+    fleet = FlacFleet(len(datas), device_restore=False, device_dsp=True)
     fleet._block_iir = "interpret"
     dev, _ = run_fleet(datas, fleet=fleet)
     for a, b in zip(host, dev):
@@ -486,17 +487,28 @@ def test_fleet_fully_device_resident_step_close():
     through _device_full_step: parse metadata is the only host input and the
     final windows the only fetch (restore -> decorrelate -> normalize ->
     resample -> IIR -> scale all on device). Per-lane f32-closeness to the
-    host f64 oracle, mono AND mid/side stereo, drip-fed."""
+    host f64 oracle, mono AND mid/side stereo, drip-fed; a spy asserts the
+    device route actually ran."""
+    calls = {"full": 0}
+
+    class Spy(FlacFleet):
+        def _device_full_step(self, parsed):
+            r = super()._device_full_step(parsed)
+            if r is not None:
+                calls["full"] += 1
+            return r
+
     for kwargs in ({"seed": 80}, {"seed": 81, "channels": 2, "chan_asgn": 10}):
         datas = [make_flac(48000, 6, **kwargs),
                  make_flac(48000, 6, **{**kwargs, "seed": kwargs["seed"] + 5})]
         host, _ = run_fleet(datas, chunk=4000)
-        fleet = FlacFleet(len(datas), device_restore=True, device_dsp=True)
+        fleet = Spy(len(datas), device_restore=True, device_dsp=True)
         fleet._block_iir = "interpret"
-        dev, fl = run_fleet(datas, chunk=4000, fleet=fleet)
+        dev, _fl = run_fleet(datas, chunk=4000, fleet=fleet)
         for a, b in zip(host, dev):
             assert a.shape == b.shape
             np.testing.assert_allclose(b, a, atol=5e-3)
+    assert calls["full"] >= 2
 
 
 def test_fleet_device_resident_mixed_geometry_falls_back():
