@@ -508,23 +508,53 @@ class FlacFleet:
             out[li] = scaled[i, : tval[i]]
         return out
 
+    def _lane_geometry(self, p):
+        """(rate, channels, depth, block, chan_asgn) when EVERY frame a lane
+        committed this step shares one device-eligible geometry, else None."""
+        li, fm, sub = p[0], p[1], p[2]
+        ln = self._lanes[li]
+        if ln.depth > 24 or len(fm) == 0:
+            return None
+        n, asgn = int(fm[0, 0]), int(fm[0, 1])
+        if n < 2 or not ((fm[:, 0] == n).all() and (fm[:, 1] == asgn).all()):
+            return None
+        if not (sub["block"] == n).all():
+            return None
+        return (ln.rate, ln.channels, ln.depth, n, asgn)
+
     def _decode_step(self, parsed):
         """One fleet-wide LPC restore, then per-lane decorrelate + batched
         rounds of resample/lowpass; scaled output lands in the lane FIFOs."""
         # full device residency needs the restore device-capable: explicit
         # True, or the None default on a backend where _block_iir is active
         # (TPU, or forced interpret in tests) — only an explicit
-        # device_restore=False opts out
+        # device_restore=False opts out. Lanes partition into per-geometry
+        # groups (a mixed-rate fleet takes the device route group by group);
+        # non-uniform lanes (short final frames, format changes) fall back to
+        # the staged host path below.
         if (self.device_dsp and self._block_iir
                 and self.device_restore is not False
                 and self.mesh is None and self.mode in ("none", "linear")):
-            dev_out = self._device_full_step(parsed)
-            if dev_out is not None:
+            groups: dict[tuple, list] = {}
+            residual = []
+            for p in parsed:
+                key = self._lane_geometry(p)
+                if key is None:
+                    residual.append(p)
+                else:
+                    groups.setdefault(key, []).append(p)
+            for group in groups.values():
+                dev_out = self._device_full_step(group)
+                if dev_out is None:
+                    residual.extend(group)
+                    continue
                 for li, samples in dev_out.items():
                     ln = self._lanes[li]
                     ln.fifo.append(samples)
                     ln.fill += len(samples)
+            if not residual:
                 return
+            parsed = residual
         sub_all = {k: np.concatenate([p[2][k] for p in parsed])
                    for k in ("order", "shift", "wasted", "block")}
         coefs_all = np.concatenate([p[3] for p in parsed])

@@ -521,8 +521,15 @@ def test_fleet_device_resident_mixed_geometry_falls_back():
     class Spy(FlacFleet):
         def _device_full_step(self, parsed):
             r = super()._device_full_step(parsed)
-            calls["full" if r is not None else "fallback"] += 1
+            if r is not None:
+                calls["full"] += 1
             return r
+
+        def _lane_geometry(self, p):
+            key = super()._lane_geometry(p)
+            if key is None:
+                calls["fallback"] += 1  # routed to the staged host path
+            return key
 
     datas = [make_flac(44100, 4, seed=85, final_short=300),
              make_flac(44100, 4, seed=86, final_short=500)]
@@ -532,4 +539,30 @@ def test_fleet_device_resident_mixed_geometry_falls_back():
     dev, _ = run_fleet(datas, fleet=fleet)
     assert calls["full"] >= 1 and calls["fallback"] >= 1, calls
     for a, b in zip(host, dev):
+        np.testing.assert_allclose(b, a, atol=5e-3)
+
+
+def test_fleet_mixed_rate_device_groups():
+    """A mixed-rate fleet partitions into per-geometry device groups: 48k and
+    44.1k lanes BOTH take the fully-device route (one _device_full_step per
+    geometry), while a short-final-frame lane falls back to the staged host
+    path in the same step when its tail arrives. Outputs stay f32-close."""
+    calls = {"full": 0, "fallback": 0}
+
+    class Spy(FlacFleet):
+        def _device_full_step(self, parsed):
+            r = super()._device_full_step(parsed)
+            calls["full" if r is not None else "fallback"] += 1
+            return r
+
+    datas = [make_flac(48000, 6, seed=130),
+             make_flac(44100, 6, seed=131, channels=2, chan_asgn=9),
+             make_flac(48000, 6, seed=132, final_short=200)]
+    host, _ = run_fleet(datas, chunk=4000)
+    fleet = Spy(len(datas), device_restore=True, device_dsp=True)
+    fleet._block_iir = "interpret"
+    dev, _ = run_fleet(datas, chunk=4000, fleet=fleet)
+    assert calls["full"] >= 4, calls  # both geometries, multiple steps
+    for a, b in zip(host, dev):
+        assert a.shape == b.shape
         np.testing.assert_allclose(b, a, atol=5e-3)
