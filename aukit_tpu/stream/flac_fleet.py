@@ -429,7 +429,10 @@ class FlacFleet:
         NO intermediate host transfer (the host handles only parse metadata
         and the final window fetch). Returns {lane: f32[take]} or None when
         the step's geometry is mixed (short final frames, mid-stream format
-        changes) — the caller falls back to the staged host path."""
+        changes) — the caller falls back to the staged host path. Mesh
+        fleets stay on the staged path by design: its sharded restore is
+        dryrun-proven, and this route is a single-chip residency
+        optimization."""
         import jax.numpy as jnp
 
         from ..kernels.flac_pallas import _order_bucket
