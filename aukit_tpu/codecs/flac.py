@@ -406,15 +406,21 @@ def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None
     from ..config import CONFIG
 
     T_max = int(sub["block"].max())
-    keep = np.arange(T_max)[None, :] < np.asarray(sub["block"])[:, None]
     if device is None:
         device = (jax.default_backend() == "tpu"
                   and S * T_max >= CONFIG.flac_device_restore_min)
     if (device or mesh is not None) and depth <= 24:
+        if (mesh is None and not interpret
+                and jax.default_backend() != "tpu"):
+            raise RuntimeError(
+                "restore_flat(device=True) needs a TPU backend (the Pallas "
+                "kernel has no CPU lowering); pass interpret=True to run "
+                "the kernel in interpret mode for testing")
         # lane-batched device restore (kernels/flac_pallas.py): exact for
         # depth <= 24 via int32 limb arithmetic; 32-bit streams stay on the
         # int64 host path. Staging scatters the flat values in one masked
         # assignment (row-major order == the parser's span order).
+        keep = np.arange(T_max)[None, :] < np.asarray(sub["block"])[:, None]
         vals = np.zeros((S, T_max), np.int32)
         vals[keep] = values_flat
         if mesh is not None:
@@ -435,6 +441,7 @@ def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None
         return _nb.restore_lpc_flat(
             values_flat, offs[:-1], sub["block"], sub["order"], sub["shift"],
             sub["wasted"], coefs)
+    keep = np.arange(T_max)[None, :] < np.asarray(sub["block"])[:, None]
     vals = np.zeros((S, T_max), np.int64)
     vals[keep] = values_flat
     restored = restore_lpc_batch(vals, coefs, sub["shift"], sub["order"])

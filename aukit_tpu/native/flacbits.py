@@ -284,8 +284,8 @@ def chunk_dsp(ext: np.ndarray, ffx: np.ndarray, frac: np.ndarray, exact: np.ndar
         exact_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_len,
         0 if mode == "none" else 1,
         0 if interp_clamp is None else 1,
-        float(interp_clamp[0]) if interp_clamp else 0.0,
-        float(interp_clamp[1]) if interp_clamp else 0.0,
+        0.0 if interp_clamp is None else float(interp_clamp[0]),
+        0.0 if interp_clamp is None else float(interp_clamp[1]),
         1 if lowpass else 0, float(alpha), fs.ctypes.data_as(dp),
         1 if zero_state_after else 0, 1 if scale_int8 else 0,
         1 if floor_output else 0, out.ctypes.data_as(dp))
@@ -331,8 +331,8 @@ def block_resample_rows(ext: np.ndarray, ffx: np.ndarray, frac: np.ndarray,
         exact_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out_len,
         0 if mode == "none" else 1,
         0 if interp_clamp is None else 1,
-        float(interp_clamp[0]) if interp_clamp else 0.0,
-        float(interp_clamp[1]) if interp_clamp else 0.0,
+        0.0 if interp_clamp is None else float(interp_clamp[0]),
+        0.0 if interp_clamp is None else float(interp_clamp[1]),
         out.ctypes.data_as(dp))
     return out
 

@@ -403,7 +403,9 @@ class _Group:
             window, self.fifo = _dev_pop(self.fifo, take=take, count=count)
             self.fill -= take
         else:
-            window = jnp.zeros((self.lanes, count), jnp.int8)
+            # device width: sharded groups carry pad rows (window widths must
+            # match the dlanes-based offsets in _inv_perm_dev)
+            window = jnp.zeros((self.dlanes, count), jnp.int8)
         had_real = np.zeros(self.lanes, bool)
         remaining = take
         while remaining > 0 and self.spans:

@@ -54,7 +54,8 @@ from .engine import block_resample_plan, iir_lowpass_scan, lua_block_resample
 
 __all__ = ["FlacFleet"]
 
-_PULL_STALL_LIMIT = 8 << 20  # bytes of undecodable buffer before a lane ends
+from . import _STALL_LIMIT as _PULL_STALL_LIMIT  # shared with stream.flac:
+# the fleet's stall poisoning mirrors the solo stream's undecodable bound
 
 
 def _bucket(n: int) -> int:
@@ -772,6 +773,7 @@ class FlacFleet:
             "pos": ln.pos,
             "eof": ln.eof,
             "ended": ln.ended,
+            "error": ln.error,
             "header": None if ln.rate is None else
                 (ln.rate, ln.channels, ln.depth, ln.num_samples, dict(ln.meta)),
             "last": None if ln.last is None else ln.last.copy(),
@@ -789,6 +791,7 @@ class FlacFleet:
         ln.consumed = ckpt["byte_offset"]
         ln.eof = ckpt["eof"]
         ln.ended = ckpt.get("ended", False)
+        ln.error = ckpt.get("error")
         ln.dirty = (len(ln.buf) > 0 or ln.eof) and not ln.ended
         ln.stalled_at = ckpt.get("stalled_at")
         if ckpt["header"] is not None:

@@ -278,25 +278,32 @@ def test_fleet_reset_lane_reuse():
     assert_lane_equals_solo(outs2[0], b)
 
 
-def test_fleet_device_restore_route_bit_exact(monkeypatch):
+def test_fleet_device_restore_route_bit_exact():
     """The fleet with ``device_restore=True`` routes the whole batch through
-    the Pallas LPC kernel (interpret mode on CPU; compiled on TPU) and stays
-    bit-identical to the host-restore run."""
+    the Pallas LPC kernel (interpret mode on CPU via the _block_iir plumbing;
+    compiled on TPU) and stays bit-identical to the host-restore run. Also
+    pins the clear error for device=True on a non-TPU backend without
+    interpret (restore_flat's guard)."""
     import jax
 
-    from aukit_tpu.kernels import flac_pallas as fp
+    from aukit_tpu.codecs import flac as flac_codec
 
-    if jax.default_backend() != "tpu":
-        real = fp.lpc_restore_pallas
-        monkeypatch.setattr(
-            fp, "lpc_restore_pallas",
-            lambda v, o, s, b, c, interpret=False, K=None: real(v, o, s, b, c, True, K))
     datas = [make_flac(48000, 6, seed=i, channels=2, chan_asgn=10)
              for i in range(3)]
     host, _ = run_fleet(datas, fleet=FlacFleet(3, device_restore=False))
-    dev, _ = run_fleet(datas, fleet=FlacFleet(3, device_restore=True))
+    fleet = FlacFleet(3, device_restore=True)
+    if jax.default_backend() != "tpu":
+        fleet._block_iir = "interpret"  # routes interpret into restore_flat
+    fleet.device_dsp = False  # pin the staged path: this test is about restore
+    dev, _ = run_fleet(datas, fleet=fleet)
     for a, b in zip(host, dev):
         np.testing.assert_array_equal(a, b)
+    if jax.default_backend() != "tpu":
+        sub = {k: np.array(v) for k, v in
+               (("order", [0]), ("shift", [0]), ("wasted", [0]), ("block", [4]))}
+        with pytest.raises(RuntimeError, match="needs a TPU backend"):
+            flac_codec.restore_flat(sub, np.zeros((1, 32), np.int32),
+                                    np.zeros(4, np.int64), 16, device=True)
 
 
 def test_fleet_tiny_blocks_nonuniform_history():
