@@ -265,11 +265,14 @@ class _Group:
         self.in_bytes, self.in_samples = geometry(spec)
         self.out_samples = self.in_samples * out_rate // spec.sample_rate
         if use_pallas is None:
+            # always on TPU: a device lax.scan pays while-loop overhead per
+            # TIME step (profiled ~65 us/iter on a 32-lane IMA group = 33 ms
+            # of a 46 ms mixed pass), while the kernel runs the same T as one
+            # grid step even when the [32,128] lane tile is mostly padding
             use_pallas = (
                 jax.default_backend() == "tpu"
                 and mesh is None
                 and spec.codec in ("dfpwm", "ima", "msadpcm", "qoa")
-                and self.lanes * self.in_samples >= 1 << 20
             )
         self.use_pallas = use_pallas
         self.io = _GroupIO(self.lanes, self.in_bytes)
