@@ -179,12 +179,15 @@ def ima_adpcm_blocks(nibbles: np.ndarray, predictor: np.ndarray, step_index: np.
     int32[L, T]. Used by the WAV container/stream paths where every block's
     header provides the state (lanes = blocks*channels decode concurrently).
 
-    Backend routing: big TPU batches take the Pallas kernel (45x the scan);
-    otherwise the sequential time scan (which with abundant lanes also beats
-    the memory-bound associative formulation, measured ~4x). The associative
-    form wins only in the few-lanes/long-T regime (decode_ima_adpcm loader)."""
+    Backend routing: TPU batches take the Pallas kernel at ANY size — the
+    jnp scan runs on the device too and pays while-loop overhead per time
+    step (profiled ~65 us/iter) on top of the same transfer, so the kernel
+    wins even when its [32,128] lane tile is mostly padding. On CPU the
+    sequential scan stays (it also beats the memory-bound associative
+    formulation with abundant lanes, measured ~4x; the associative form
+    wins only in the few-lanes/long-T regime, decode_ima_adpcm loader)."""
     nib = np.asarray(nibbles, dtype=np.int32)
-    if jax.default_backend() == "tpu" and nib.shape[0] * nib.shape[1] >= 1 << 20:
+    if jax.default_backend() == "tpu":
         from ..kernels.ima_pallas import ima_decode_pallas
 
         out, _ = ima_decode_pallas(
@@ -242,9 +245,10 @@ def decode_msadpcm_blocks(
         co2 = np.asarray(coefficients[1], dtype=np.int32)
     pidx = np.asarray(predictor_index, dtype=np.int64)
     nib = np.asarray(nibbles, dtype=np.int32)
-    # big batches on TPU take the Pallas block-lane kernel (14x the scan);
-    # small/CPU batches use the portable scan
-    if jax.default_backend() == "tpu" and nib.shape[0] * nib.shape[1] >= 1 << 20:
+    # TPU batches take the Pallas block-lane kernel at any size (the jnp
+    # scan pays device while-loop overhead per time step on top of the same
+    # transfer); CPU batches use the portable scan
+    if jax.default_backend() == "tpu":
         from ..kernels.msadpcm_pallas import msadpcm_decode_pallas
 
         out, _ = msadpcm_decode_pallas(
