@@ -50,7 +50,7 @@ def decode_mdfpwm(data: bytes, head: bool = False) -> Audio:
         lanes_r = np.concatenate([lanes_r, tail[6000:]])
     elif len(tail) > 0:
         lanes_l = np.concatenate([lanes_l, tail])
-    from ..codecs.dfpwm import DfpwmState, dfpwm_decode
+    from ..codecs.dfpwm import DfpwmState, _routed_decode
     import jax.numpy as jnp
 
     nmin = min(len(lanes_l), len(lanes_r))
@@ -58,13 +58,13 @@ def decode_mdfpwm(data: bytes, head: bool = False) -> Audio:
     # decode both channels as two lanes over the common prefix, then the ragged
     # remainder of the longer lane separately
     both = np.stack([lanes_l[:nmin], lanes_r[:nmin]])
-    out, state = dfpwm_decode(jnp.asarray(both), DfpwmState.zeros(2))
+    out, state = _routed_decode(np.asarray(both, np.uint8), DfpwmState.zeros(2))
     out = np.asarray(out)
     left, right = out[0], out[1]
     if nl > nmin:
         import jax
 
-        extra, _ = dfpwm_decode(
+        extra, _ = _routed_decode(
             jnp.asarray(lanes_l[nmin:][None, :]),
             jax.tree_util.tree_map(lambda a: a[:1], state),
         )
