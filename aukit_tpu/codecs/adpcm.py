@@ -187,11 +187,13 @@ def ima_adpcm_blocks(nibbles: np.ndarray, predictor: np.ndarray, step_index: np.
     formulation with abundant lanes, measured ~4x; the associative form
     wins only in the few-lanes/long-T regime, decode_ima_adpcm loader)."""
     nib = np.asarray(nibbles, dtype=np.int32)
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and nib.shape[0] > 0 and nib.shape[1] > 0):  # kernels reject 0-dims
         from ..kernels.ima_pallas import ima_decode_pallas
 
         out, _ = ima_decode_pallas(
-            nib, np.asarray(predictor, np.int32), np.asarray(step_index, np.int32)
+            nib, np.asarray(predictor, np.int32),
+            np.asarray(step_index, np.int32),  # kernel clamps its lookup
         )
         return np.asarray(out)
     out, _ = ima_adpcm_scan(
@@ -248,7 +250,8 @@ def decode_msadpcm_blocks(
     # TPU batches take the Pallas block-lane kernel at any size (the jnp
     # scan pays device while-loop overhead per time step on top of the same
     # transfer); CPU batches use the portable scan
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and nib.shape[0] > 0 and nib.shape[1] > 0):  # kernels reject 0-dims
         from ..kernels.msadpcm_pallas import msadpcm_decode_pallas
 
         out, _ = msadpcm_decode_pallas(

@@ -171,14 +171,22 @@ class DfpwmStreamDecoder:
 
 
 def _routed_decode(chunks, state):
-    """TPU backends take the Pallas kernel at any size — a device lax.scan
-    pays while-loop overhead per BYTE step (profiled ~65 us/iter) on top of
-    the same host->HBM transfer, so even a single-lane loader decode is far
-    faster through the [32,128]-tiled kernel. CPU keeps the portable scan."""
-    if jax.default_backend() == "tpu":
-        from ..kernels.dfpwm_pallas import dfpwm_decode_pallas
+    """Single/few-lane host-resident decode routing: the native C++ rows
+    decoder when available (these paths hold their bytes on the host, where
+    the Pallas kernel's [32,128] lane padding would cost 4096x the memory
+    plus a transfer, and a device lax.scan pays while-loop overhead per
+    byte step — the same routing doctrine as the QOA/FLAC host fast paths);
+    else the portable lax.scan. The lane-batched engine and bench flows call
+    the Pallas kernels directly."""
+    from ..native import flacbits as _nb
 
-        return dfpwm_decode_pallas(chunks, state)
+    if _nb.available():
+        st = np.stack([np.asarray(a, np.int32) for a in (
+            state.charge, state.strength, state.previous_bit,
+            state.previous_charge, state.lowpass)])
+        out, st2 = _nb.dfpwm_decode_rows(np.asarray(chunks, np.uint8), st)
+        new_state = DfpwmState(*(jnp.asarray(st2[i]) for i in range(5)))
+        return out, new_state
     return dfpwm_decode(jnp.asarray(chunks), state)
 
 
@@ -201,12 +209,17 @@ def encode_dfpwm_bytes(levels: np.ndarray, state: DfpwmState | None = None):
         state = DfpwmState.zeros(1)
     if n == 0:
         return b"", state
-    if jax.default_backend() == "tpu":
-        from ..kernels.dfpwm_pallas import dfpwm_encode_pallas
+    from ..native import flacbits as _nb
 
-        out, state = dfpwm_encode_pallas(levels[:n][None, :], state)
-    else:
-        out, state = dfpwm_encode(jnp.asarray(levels[:n][None, :]), state)
+    if _nb.available():
+        st = np.stack([np.asarray(a, np.int32) for a in (
+            state.charge, state.strength, state.previous_bit)])
+        out, st2 = _nb.dfpwm_encode_rows(levels[:n][None, :], st)
+        state = DfpwmState(jnp.asarray(st2[0]), jnp.asarray(st2[1]),
+                           jnp.asarray(st2[2]), state.previous_charge,
+                           state.lowpass)
+        return out[0].tobytes(), state
+    out, state = dfpwm_encode(jnp.asarray(levels[:n][None, :]), state)
     return np.asarray(out)[0].tobytes(), state
 
 
@@ -232,6 +245,12 @@ def encode_dfpwm_audio(audio, interleaved: bool = True):
     n = (levels.shape[1] // 8) * 8
     if n == 0:
         return tuple(b"" for _ in range(levels.shape[0]))
-    out, _ = dfpwm_encode(jnp.asarray(levels[:, :n]), DfpwmState.zeros(levels.shape[0]))
-    out = np.asarray(out)
+    from ..native import flacbits as _nb
+
+    if _nb.available():
+        out, _ = _nb.dfpwm_encode_rows(
+            levels[:, :n], np.zeros((3, levels.shape[0]), np.int32))
+    else:
+        out, _ = dfpwm_encode(jnp.asarray(levels[:, :n]), DfpwmState.zeros(levels.shape[0]))
+        out = np.asarray(out)
     return tuple(out[c].tobytes() for c in range(out.shape[0]))

@@ -52,7 +52,11 @@ def _ima_kernel(nvalid_ref, tbl_ref, nib_ref, state_ref, out_ref, state_out_ref,
         outs = []
         for u in range(UNROLL):
             nib = nibs[u]
-            step = jnp.take_along_axis(tbl, sidx, axis=1)
+            # clamp the LOOKUP only (scan parity: jnp.take clamps, but the
+            # raw index still feeds the state arithmetic for one step) —
+            # malformed headers carry 89..255, which unclamped would gather
+            # table padding or out of lane range
+            step = jnp.take_along_axis(tbl, jnp.clip(sidx, 0, 88), axis=1)
             m = nib & 7
             nsidx = jnp.clip(sidx + jnp.where(m < 4, -1, (m - 3) * 2), 0, 88)
             diff = ((m * step) >> 2) + (step >> 3)

@@ -127,6 +127,16 @@ def _load():
             ctypes.POINTER(ctypes.c_double), ctypes.c_double,
             ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.dfpwm_decode_rows.restype = None
+        lib.dfpwm_decode_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.dfpwm_encode_rows.restype = None
+        lib.dfpwm_encode_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ]
         _lib = lib
         return _lib
 
@@ -390,3 +400,37 @@ def restore_lpc(values: np.ndarray, blocks: np.ndarray, orders: np.ndarray,
         shifts.ctypes.data_as(p), coefs.ctypes.data_as(p), S, T,
     )
     return values
+
+
+def dfpwm_decode_rows(bytes_u8: np.ndarray, state: np.ndarray):
+    """Host DFPWM1a decode, bit-identical to codecs/dfpwm.py::dfpwm_decode.
+    bytes_u8 [L, B] uint8, state [5, L] int32 (charge, strength, prev_bit,
+    prev_charge, lowpass). Returns (out int32[L, B*8], new_state [5, L])."""
+    lib = _load()
+    assert lib is not None
+    b = np.ascontiguousarray(bytes_u8, np.uint8)
+    st = np.ascontiguousarray(state, np.int32).copy()
+    L, B = b.shape
+    out = np.empty((L, B * 8), np.int32)
+    lib.dfpwm_decode_rows(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), L, B,
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out, st
+
+
+def dfpwm_encode_rows(levels: np.ndarray, state: np.ndarray):
+    """Host DFPWM1a encode, bit-identical to codecs/dfpwm.py::dfpwm_encode.
+    levels [L, N] int32 (N % 8 == 0), state [3, L] int32 (charge, strength,
+    prev_bit). Returns (out uint8[L, N//8], new_state [3, L])."""
+    lib = _load()
+    assert lib is not None
+    lv = np.ascontiguousarray(levels, np.int32)
+    st = np.ascontiguousarray(state, np.int32).copy()
+    L, N = lv.shape
+    out = np.empty((L, N // 8), np.uint8)
+    lib.dfpwm_encode_rows(
+        lv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), L, N,
+        st.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, st

@@ -761,6 +761,69 @@ void qoa_lms(const int32_t* dq, int32_t* out, int32_t* hist, int32_t* wts,
     }
 }
 
+// DFPWM1a host fast paths (semantics identical to codecs/dfpwm.py's scan:
+// arithmetic int32 shifts, PREC=10, strength floor 8, antijerk average on
+// bit flips, 140/256 output low-pass). The single/few-lane loader & stream
+// paths are host-resident, where the Pallas kernel's [32,128] lane padding
+// would cost 4096x the memory and a transfer — the same routing doctrine as
+// the QOA/FLAC host paths. state: [5, lanes] (charge, strength, prev_bit,
+// prev_charge, lowpass), updated in place. bytes [lanes, B] -> out [lanes, B*8].
+void dfpwm_decode_rows(const uint8_t* bytes, int64_t L, int64_t B,
+                       int32_t* state, int32_t* out) {
+    for (int64_t l = 0; l < L; l++) {
+        int32_t q = state[l], s = state[L + l], lb = state[2 * L + l];
+        int32_t pq = state[3 * L + l], lp = state[4 * L + l];
+        const uint8_t* row = bytes + l * B;
+        int32_t* o = out + l * B * 8;
+        for (int64_t i = 0; i < B; i++) {
+            int32_t byte = row[i];
+            for (int k = 0; k < 8; k++) {
+                int32_t bit = (byte >> k) & 1;
+                int32_t target = bit ? 127 : -128;
+                int32_t nq = q + ((s * (target - q) + 512) >> 10);
+                if (nq == q && nq != target) nq += bit ? 1 : -1;
+                int32_t z = (bit == lb) ? 1023 : 0;
+                if (s != z) s += (bit == lb) ? 1 : -1;
+                if (s < 8) s = 8;
+                int32_t aj = (bit != lb) ? ((nq + pq + 1) >> 1) : nq;
+                lp += ((aj - lp) * 140 + 0x80) >> 8;
+                o[i * 8 + k] = lp;
+                q = nq; pq = nq; lb = bit;
+            }
+        }
+        state[l] = q; state[L + l] = s; state[2 * L + l] = lb;
+        state[3 * L + l] = pq; state[4 * L + l] = lp;
+    }
+}
+
+// levels [lanes, N] (N % 8 == 0) -> out [lanes, N/8]; state rows used:
+// charge, strength, prev_bit (prev_charge/lowpass untouched, like the scan).
+void dfpwm_encode_rows(const int32_t* levels, int64_t L, int64_t N,
+                       int32_t* state, uint8_t* out) {
+    for (int64_t l = 0; l < L; l++) {
+        int32_t q = state[l], s = state[L + l], lb = state[2 * L + l];
+        const int32_t* row = levels + l * N;
+        uint8_t* o = out + l * (N / 8);
+        for (int64_t i = 0; i < N / 8; i++) {
+            int32_t byte = 0;
+            for (int k = 0; k < 8; k++) {
+                int32_t level = row[i * 8 + k];
+                int32_t bit = (level > q || (level == q && q == 127)) ? 1 : 0;
+                int32_t target = bit ? 127 : -128;
+                int32_t nq = q + ((s * (target - q) + 512) >> 10);
+                if (nq == q && nq != target) nq += bit ? 1 : -1;
+                int32_t z = (bit == lb) ? 1023 : 0;
+                if (s != z) s += (bit == lb) ? 1 : -1;
+                if (s < 8) s = 8;
+                byte |= bit << k;
+                q = nq; lb = bit;
+            }
+            o[i] = (uint8_t)byte;
+        }
+        state[l] = q; state[L + l] = s; state[2 * L + l] = lb;
+    }
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -235,3 +235,48 @@ def test_ima_parallel_matches_sequential_scan():
     np.testing.assert_array_equal(np.asarray(par), np.asarray(seq))
     np.testing.assert_array_equal(np.asarray(pp), np.asarray(sp))
     np.testing.assert_array_equal(np.asarray(pi), np.asarray(si))
+
+
+def test_native_dfpwm_rows_matches_scan():
+    """Host C++ DFPWM decode/encode vs the lax.scan reference, including
+    multi-chunk state carry and empty input (the single/few-lane loader and
+    stream routing, codecs/dfpwm.py::_routed_decode). Lives here rather
+    than test_native.py because the scan reference jits (the ASan sweep of
+    test_native.py must stay jit-free)."""
+    from aukit_tpu.native import flacbits
+
+    if not flacbits.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    import jax
+    import jax.numpy as jnp
+
+    from aukit_tpu.codecs.dfpwm import DfpwmState, dfpwm_decode, dfpwm_encode
+
+    rng = np.random.default_rng(23)
+    L = 3
+    st_scan = DfpwmState.zeros(L)
+    st_nat = np.zeros((5, L), np.int32)
+    for chunk in (rng.integers(0, 256, (L, 613), dtype=np.uint8),
+                  rng.integers(0, 256, (L, 200), dtype=np.uint8)):
+        exp, st_scan = dfpwm_decode(jnp.asarray(chunk), st_scan)
+        got, st_nat = flacbits.dfpwm_decode_rows(chunk, st_nat)
+        np.testing.assert_array_equal(got, np.asarray(exp))
+    np.testing.assert_array_equal(
+        st_nat, np.stack([np.asarray(a) for a in (
+            st_scan.charge, st_scan.strength, st_scan.previous_bit,
+            st_scan.previous_charge, st_scan.lowpass)]))
+    # empty input: no-op, state unchanged
+    got, st2 = flacbits.dfpwm_decode_rows(np.zeros((L, 0), np.uint8), st_nat)
+    assert got.shape == (L, 0)
+    np.testing.assert_array_equal(st2, st_nat)
+
+    lv = rng.integers(-128, 128, (L, 8 * 77)).astype(np.int32)
+    st_scan = DfpwmState.zeros(L)
+    enc_exp, st_scan = dfpwm_encode(jnp.asarray(lv), st_scan)
+    enc_got, st_enc = flacbits.dfpwm_encode_rows(lv, np.zeros((3, L), np.int32))
+    np.testing.assert_array_equal(enc_got, np.asarray(enc_exp))
+    np.testing.assert_array_equal(
+        st_enc, np.stack([np.asarray(a) for a in (
+            st_scan.charge, st_scan.strength, st_scan.previous_bit)]))

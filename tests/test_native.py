@@ -137,3 +137,4 @@ def test_native_qoa_full_decode_matches_python():
     a2 = decode_qoa(data2, use_native=True)[0]
     b2 = decode_qoa(data2, use_native=False)[0]
     np.testing.assert_array_equal(a2, b2)
+

@@ -292,3 +292,33 @@ def test_dfpwm_decode_dsp_fused_matches_dsp_chain():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(exp),
                                       err_msg=f"chunk {chunk}")
         np.testing.assert_array_equal(np.asarray(st_fus), np.asarray(st_ref))
+
+
+def test_ima_kernel_out_of_range_step_index_defined():
+    """The kernel clamps its step-table LOOKUP (raw indices 89..255 would
+    gather table padding or out of lane range = undefined) while the state
+    arithmetic sees the raw index for one step; pinned against a per-sample
+    numpy replica of that defined semantic. Stream/loader parse sites clamp
+    indices at the source, so valid flows never reach this edge."""
+    from aukit_tpu.codecs.adpcm import IMA_STEP_TABLE
+    from aukit_tpu.kernels.ima_pallas import ima_decode_pallas
+
+    rng = np.random.default_rng(29)
+    L, T = 4, 96
+    nib = rng.integers(0, 16, (L, T)).astype(np.int32)
+    pred0 = np.zeros(L, np.int32)
+    sidx_bad = np.array([0, 89, 127, 200], np.int32)
+
+    exp = np.empty((L, T), np.int32)
+    for l in range(L):
+        p, s = int(pred0[l]), int(sidx_bad[l])
+        for t in range(T):
+            n = int(nib[l, t])
+            step = int(IMA_STEP_TABLE[min(max(s, 0), 88)])
+            m = n & 7
+            s = min(max(s + (-1 if m < 4 else (m - 3) * 2), 0), 88)
+            diff = ((m * step) >> 2) + (step >> 3)
+            p = min(max(p - diff if n >= 8 else p + diff, -32768), 32767)
+            exp[l, t] = p
+    got, _ = ima_decode_pallas(nib, pred0, sidx_bad, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), exp)
