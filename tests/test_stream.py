@@ -869,3 +869,25 @@ def test_iir_doubling_zero_pass_skip_bit_identical():
     got, new_state = fn(jnp.asarray(xf), jnp.asarray(stf), jnp.asarray(tval))
     np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
     np.testing.assert_array_equal(np.asarray(new_state), np.asarray(fin_exp))
+
+
+def test_stream_adpcm_malformed_step_index_clamped():
+    """A garbage IMA block whose step-index byte exceeds 88 decodes with the
+    index clamped at parse (defined output, stream stays alive) — the
+    reference nil-errors the stream here; clamping is the engine's documented
+    lenient convention, now shared by the single-stream path."""
+    rng = np.random.default_rng(33)
+    ba = 256
+    good = bytes([0, 0, 40, 0]) + rng.integers(0, 256, ba - 4, dtype=np.uint8).tobytes()
+    bad = bytes([0, 0, 0xFF, 0]) + rng.integers(0, 256, ba - 4, dtype=np.uint8).tobytes()
+    it, _ = ak.stream.adpcm(good + bad + good, ba, 1, 8000)
+    chunks = [c for c, _p in it]
+    out = np.concatenate(chunks, axis=1)
+    assert np.isfinite(out).all()
+    assert out.shape[1] > 0
+    # the clamped block must decode exactly like one whose header already
+    # carries 88 (clip semantics, not fill/garbage)
+    bad88 = bytes([0, 0, 88, 0]) + bad[4:]
+    it2, _ = ak.stream.adpcm(good + bad88 + good, ba, 1, 8000)
+    out2 = np.concatenate([c for c, _p in it2], axis=1)
+    np.testing.assert_array_equal(out, out2)
