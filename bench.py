@@ -264,6 +264,24 @@ def bench_all():
     lines.append({"metric": f"dfpwm_roundtrip_realtime_{backend}", "value": round(L * N / dt / 48000, 1),
                   "unit": "x_realtime", "vs_baseline": None})
 
+    # config 2b: native C++ DFPWM host fast path (the single/few-lane loader
+    # and stream routing, codecs/dfpwm.py::_routed_decode — bit-identical to
+    # the scan; the Pallas kernels serve the lane-batched flows)
+    from aukit_tpu.native import flacbits as _nb
+
+    if _nb.available():
+        nb_bytes = rng.integers(0, 256, (1, 6000 * 60), dtype=np.uint8)
+        nb_state = np.zeros((5, 1), np.int32)
+        _nb.dfpwm_decode_rows(nb_bytes[:, :6000], nb_state.copy())  # warm
+        t0 = time.time()
+        _out, _st = _nb.dfpwm_decode_rows(nb_bytes, nb_state)
+        dt = time.time() - t0
+        lines.append({"metric": "dfpwm_native_host_realtime",
+                      "value": round(nb_bytes.size * 8 / dt / 48000, 1),
+                      "unit": "x_realtime", "vs_baseline": None,
+                      "note": "single-lane host C++ decode (loader/stream "
+                              "route); no device involved"})
+
     # config 3: MS/IMA ADPCM + G.711 batched decode (device scans / LUT)
     from aukit_tpu.codecs.adpcm import ima_adpcm_scan, msadpcm_scan
     from aukit_tpu.codecs.g711 import decode_g711_device
