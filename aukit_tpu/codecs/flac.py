@@ -394,7 +394,9 @@ def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None
     batch clears ``CONFIG.flac_device_restore_min`` or ``device=True``; else
     the native C++ in-place restore; else the numpy batch fallback. With a
     ``mesh``, lanes shard over every mesh axis with zero collectives
-    (kernels/flac_pallas.py::lpc_restore_sharded)."""
+    (kernels/flac_pallas.py::lpc_restore_sharded); an EXPLICIT
+    ``device=False`` wins over ``mesh`` (host-path opt-out — the sharded
+    route only engages for device=None/True)."""
     S = len(sub["order"])
     if S == 0:
         return np.zeros(0, np.int64)
@@ -406,10 +408,11 @@ def restore_flat(sub, coefs, values_flat, depth: int, device: bool | None = None
     from ..config import CONFIG
 
     T_max = int(sub["block"].max())
+    host_forced = device is False  # explicit opt-out beats mesh routing
     if device is None:
         device = (jax.default_backend() == "tpu"
                   and S * T_max >= CONFIG.flac_device_restore_min)
-    if (device or mesh is not None) and depth <= 24:
+    if not host_forced and (device or mesh is not None) and depth <= 24:
         if (mesh is None and not interpret
                 and jax.default_backend() != "tpu"):
             raise RuntimeError(

@@ -221,7 +221,8 @@ def lpc_restore_sharded(vals, orders, shifts, blocks, coefs, mesh,
         specs = (P(axes, None), P(axes), P(axes), P(axes), P(axes, None))
         fn = jax.jit(jax.shard_map(
             lambda v, o, s, b, c: lpc_restore_pallas(v, o, s, b, c, K=K),
-            mesh=mesh, in_specs=specs, out_specs=P(axes, None)))
+            mesh=mesh, in_specs=specs, out_specs=P(axes, None),
+            check_vma=False))  # pallas outputs carry no vma metadata
         out = fn(*args)
     else:
         shardings = (lane2, lane, lane, lane, lane2)

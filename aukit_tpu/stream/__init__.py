@@ -266,10 +266,14 @@ def adpcm(input_data, block_align: int, channels: int = 1, sample_rate: int = 48
                     [hdr[:, 0:2].copy().view("<i2")[:, 0], hdr[:, 4:6].copy().view("<i2")[:, 0]],
                     axis=1,
                 ).astype(np.int32)
-                # clamp malformed header indices (the reference errors the
-                # stream here, aukit.lua nil-index; we keep the lane alive
-                # with defined output — the engine's lenient §5.3 convention)
-                sidx = np.clip(np.stack([hdr[:, 2], hdr[:, 6]], axis=1), 0, 88).astype(np.int32)
+                # clamp malformed header indices (the reference nil-indexes
+                # ima_step_table and errors the stream, aukit.lua:2806; we
+                # keep the lane alive with defined output — the engine's
+                # lenient §5.3 convention; quirk Q28, gated below)
+                sidx = np.stack([hdr[:, 2], hdr[:, 6]], axis=1).astype(np.int32)
+                if CONFIG.compat_quirks and (sidx > 88).any():
+                    raise ValueError("malformed IMA step index")  # Q28 compat
+                sidx = np.clip(sidx, 0, 88)
                 ngroups = (block_align - 8) // 8
                 body = blocks[:, 8 : 8 + ngroups * 8]
                 nibs = np.stack([regroup_ima_stereo(body[b]) for b in range(nblocks)])
@@ -278,7 +282,10 @@ def adpcm(input_data, block_align: int, channels: int = 1, sample_rate: int = 48
                 dec = preds.reshape(nblocks, 2, -1).astype(np.float64)
             else:
                 pred = blocks[:, 0:2].copy().view("<i2")[:, 0].astype(np.int32)
-                sidx = np.clip(blocks[:, 2], 0, 88).astype(np.int32)
+                sidx = blocks[:, 2].astype(np.int32)
+                if CONFIG.compat_quirks and (sidx > 88).any():
+                    raise ValueError("malformed IMA step index")  # Q28 compat
+                sidx = np.clip(sidx, 0, 88)
                 nbytes_body = ((block_align - 4 * channels) // (4 * channels)) * 4 * channels
                 body = blocks[:, 4 : 4 + nbytes_body]
                 lo = (body & 0x0F).astype(np.int32)

@@ -25,8 +25,10 @@ independent streams into fixed lanes:
    state; ``checkpoint()``/``restore()`` round-trip through numpy;
  - optional ``jax.sharding.Mesh``: every group (homogeneous or mixed fleet)
    shards its lanes over the whole mesh — lanes are padded per group to a
-   device-count multiple and the pad rows masked — so the same engine scales
-   across chips with XLA-inserted collectives only (SURVEY.md §2.4
+   device-count multiple and the pad rows masked. Group steps run under
+   ``jax.shard_map`` (lane-elementwise, zero collectives), so the Pallas
+   kernels stay the fast path on multi-chip too — GSPMD cannot partition a
+   pallas_call, but shard_map hands each device its own (SURVEY.md §2.4
    "sharded over chips", §5.8).
 
 Output contract: homogeneous engines (one group) emit each decode chunk
@@ -268,10 +270,13 @@ class _Group:
             # always on TPU: a device lax.scan pays while-loop overhead per
             # TIME step (profiled ~65 us/iter on a 32-lane IMA group = 33 ms
             # of a 46 ms mixed pass), while the kernel runs the same T as one
-            # grid step even when the [32,128] lane tile is mostly padding
+            # grid step even when the [32,128] lane tile is mostly padding.
+            # Meshes keep the kernels too: the step runs under shard_map
+            # (GSPMD cannot partition a pallas_call), each device decoding
+            # its own lane shard with zero collectives — multi-chip is the
+            # fast path, not the fallback (VERDICT r3 item 1).
             use_pallas = (
                 jax.default_backend() == "tpu"
-                and mesh is None
                 and spec.codec in ("dfpwm", "ima", "msadpcm", "qoa")
             )
         self.use_pallas = use_pallas
@@ -329,16 +334,7 @@ class _Group:
                 ]
                 return (out, new_fir, *new_leaves)
 
-            if self._sharding is None:
-                return jax.jit(step)
-            P = jax.sharding.PartitionSpec
-            state_sh = jax.sharding.NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
-            nstate = len(self._state_leaves)
-            return jax.jit(
-                step,
-                in_shardings=(self._sharding, self._sharding, state_sh) + (state_sh,) * nstate,
-                out_shardings=(self._sharding, state_sh) + (state_sh,) * nstate,
-            )
+            return self._wrap_step(step)
 
         def step(bytes_u8, mask2d, fir, *state_leaves):
             state = jax.tree_util.tree_unflatten(state_def, state_leaves)
@@ -353,16 +349,30 @@ class _Group:
             ]
             return (out, new_fir, *new_leaves)
 
-        if self._sharding is not None:
-            P = jax.sharding.PartitionSpec
-            state_sh = jax.sharding.NamedSharding(self.mesh, P(tuple(self.mesh.axis_names)))
-            nstate = len(self._state_leaves)
-            return jax.jit(
-                step,
-                in_shardings=(self._sharding, self._sharding, state_sh) + (state_sh,) * nstate,
-                out_shardings=(self._sharding, state_sh) + (state_sh,) * nstate,
-            )
-        return jax.jit(step)
+        return self._wrap_step(step)
+
+    def _wrap_step(self, step):
+        """jit the group step; under a mesh, run it inside ``jax.shard_map``
+        over the lane axis. Lanes are embarrassingly parallel (decode kernels,
+        DSP and masking are all lane-elementwise), so each device executes the
+        Pallas kernel / scan on its own lane shard with ZERO collectives — the
+        ``lpc_restore_sharded`` pattern (kernels/flac_pallas.py). This is what
+        lets ``use_pallas`` stay on under a mesh: GSPMD cannot partition a
+        ``pallas_call``, but shard_map hands every device its own call."""
+        if self._sharding is None:
+            return jax.jit(step)
+        P = jax.sharding.PartitionSpec
+        axes = tuple(self.mesh.axis_names)
+        lane1, lane2 = P(axes), P(axes, None)
+        nstate = len(self._state_leaves)
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # metadata, and the steps are collective-free by construction
+        return jax.jit(jax.shard_map(
+            step, mesh=self.mesh,
+            in_specs=(lane2, lane2, lane1) + (lane1,) * nstate,
+            out_specs=(lane2, lane1) + (lane1,) * nstate,
+            check_vma=False,
+        ))
 
     def decode_once(self):
         """Stage + dispatch one chunk. Returns (out_dev[dlanes, T], ready,

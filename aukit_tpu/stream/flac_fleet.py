@@ -294,7 +294,8 @@ class FlacFleet:
         its subframe lanes over every mesh axis with zero collectives
         (SURVEY.md §2.4 "sharded over chips"; Pallas under shard_map on TPU,
         the jnp limb-scan twin elsewhere). Depth > 24 lanes fall back to the
-        host restore.
+        host restore, and an EXPLICIT ``device_restore=False`` keeps the host
+        restore even under a mesh (restore_flat's documented opt-out).
 
     Each lane carries its own format (rate/channels/depth parsed from its own
     ``fLaC`` header), so a fleet may mix files freely; malformed lanes are

@@ -573,3 +573,26 @@ def test_fleet_mixed_rate_device_groups():
     for a, b in zip(host, dev):
         assert a.shape == b.shape
         np.testing.assert_allclose(b, a, atol=5e-3)
+
+
+def test_fleet_device_restore_false_wins_over_mesh(monkeypatch):
+    """An EXPLICIT device_restore=False keeps the host restore even under a
+    mesh (restore_flat's documented opt-out, advisor r3 finding): the sharded
+    route must never engage."""
+    import jax
+
+    from aukit_tpu.kernels import flac_pallas as kp
+    from aukit_tpu.parallel.pipeline import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+
+    def boom(*a, **k):
+        raise AssertionError("sharded restore must not run with device=False")
+
+    monkeypatch.setattr(kp, "lpc_restore_sharded", boom)
+    datas = [make_flac(48000, 2, seed=77)]
+    plain, _ = run_fleet(datas, fleet=FlacFleet(1, device_restore=False))
+    hosted, _ = run_fleet(datas, fleet=FlacFleet(
+        1, device_restore=False, mesh=make_mesh(8)))
+    np.testing.assert_array_equal(plain[0], hosted[0])

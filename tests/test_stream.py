@@ -891,3 +891,18 @@ def test_stream_adpcm_malformed_step_index_clamped():
     it2, _ = ak.stream.adpcm(good + bad88 + good, ba, 1, 8000)
     out2 = np.concatenate([c for c, _p in it2], axis=1)
     np.testing.assert_array_equal(out, out2)
+
+
+def test_stream_adpcm_malformed_step_index_compat_errors(monkeypatch):
+    """Q28: under CONFIG.compat_quirks the reference's behavior returns — a
+    step index > 88 hard-errors the stream instead of clamping."""
+    import aukit_tpu.config as cfgmod
+
+    rng = np.random.default_rng(33)
+    ba = 256
+    bad = bytes([0, 0, 0xFF, 0]) + rng.integers(0, 256, ba - 4, dtype=np.uint8).tobytes()
+    monkeypatch.setattr(cfgmod.CONFIG, "compat_quirks", True)
+    it, _ = ak.stream.adpcm(bad, ba, 1, 8000)
+    with pytest.raises(ValueError, match="malformed IMA step index"):
+        for _c, _p in it:
+            pass
