@@ -37,7 +37,11 @@ engines emit uniform ``int8[L, output_rate]`` one-second windows — ALSO
 device-resident, assembled from device-side per-group FIFOs (block codecs
 decode whole blocks, >= 1 s of input per step, reference per-second batching
 aukit.lua:2617-2619); audio only crosses to the host when the consumer
-fetches it.
+fetches it. With ``mono=False`` windows keep the decoded channels —
+``int8[L, C, T]`` per-channel chunks feeding speaker-per-channel fan-out
+(aukit.lua:2223-2227 chunk contract + 1929-1940 playback fan-out; lanes
+with fewer channels replicate channel 0, the ``chunk[i] or chunk[1]``
+fallback).
 """
 
 from __future__ import annotations
@@ -77,15 +81,28 @@ class BatchMetrics:
 
 @jax.jit
 def _dev_push(fifo, out):
-    return jnp.concatenate([fifo, out], axis=1)
+    return jnp.concatenate([fifo, out], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("take", "count"))
 def _dev_pop(fifo, take: int, count: int):
-    window = fifo[:, :take]
+    window = fifo[..., :take]
     if take < count:
-        window = jnp.pad(window, ((0, 0), (0, count - take)))
-    return window, fifo[:, take:]
+        pad = ((0, 0),) * (fifo.ndim - 1) + ((0, count - take),)
+        window = jnp.pad(window, pad)
+    return window, fifo[..., take:]
+
+
+@functools.partial(jax.jit, static_argnames=("cmax",))
+def _dev_padch(w, cmax: int):
+    """[L, C, T] -> [L, cmax, T]: missing channels replicate channel 0 — the
+    batched form of the reference's speaker fallback ``chunk[i] or chunk[1]``
+    (aukit.lua:1935)."""
+    C = w.shape[1]
+    if C == cmax:
+        return w
+    rep = jnp.broadcast_to(w[:, :1], (w.shape[0], cmax - C, w.shape[2]))
+    return jnp.concatenate([w, rep], axis=1)
 
 
 @jax.jit
@@ -259,11 +276,16 @@ class _GroupIO:
 class _Group:
     """Lanes sharing one LaneSpec: fused device step + staging + output FIFO."""
 
-    def __init__(self, spec: LaneSpec, slots: np.ndarray, mesh, use_pallas, out_rate: int):
+    def __init__(self, spec: LaneSpec, slots: np.ndarray, mesh, use_pallas,
+                 out_rate: int, mono: bool = True):
         self.spec = spec
         self.slots = slots  # external lane ids, in engine order
         self.lanes = len(slots)
         self.mesh = mesh
+        self.mono = mono
+        self.out_ch = 1 if mono else spec.channels
+        # in_samples counts per-channel frames, so out_samples holds for both
+        # the mono [L, T] and the per-channel [L, C, T] output contract
         self.in_bytes, self.in_samples = geometry(spec)
         self.out_samples = self.in_samples * out_rate // spec.sample_rate
         if use_pallas is None:
@@ -286,7 +308,8 @@ class _Group:
         # item 2); host bookkeeping stays at the real lane count
         self.pad = 0 if mesh is None else (-self.lanes) % mesh.devices.size
         self.dlanes = self.lanes + self.pad
-        self.fir = jnp.zeros(self.dlanes, jnp.float32)
+        self.fir = (jnp.zeros(self.dlanes, jnp.float32) if mono
+                    else jnp.zeros((self.dlanes, self.out_ch), jnp.float32))
         state = init_state(spec, self.dlanes)
         self._state_leaves, self._state_def = jax.tree_util.tree_flatten(state)
         self.samples_in = np.zeros(self.lanes, np.int64)  # input samples consumed
@@ -302,7 +325,8 @@ class _Group:
         self._step_fn = self._build_step(out_rate)
 
     def _build_step(self, out_rate: int):
-        decode, self.stateful = build_decoder(self.spec, self.use_pallas)
+        decode, self.stateful = build_decoder(self.spec, self.use_pallas,
+                                              self.mono)
         in_rate = self.spec.sample_rate
         state_def = self._state_def
         # identity-rate DFPWM lanes (the flagship path): the normalize /
@@ -320,6 +344,8 @@ class _Group:
 
             alpha = fir_alpha(in_rate, out_rate)
 
+            mono = self.mono
+
             def step(bytes_u8, mask2d, fir, *state_leaves):
                 state = jax.tree_util.tree_unflatten(state_def, state_leaves)
                 mask1 = mask2d[:, 0]
@@ -327,7 +353,11 @@ class _Group:
                     bytes_u8, state, alpha, mask=mask1)
                 lpf = new_state.lowpass.astype(jnp.float32)
                 new_fir = lpf / jnp.where(new_state.lowpass < 0, 128.0, 127.0)
-                new_fir = jnp.where(mask1, new_fir, fir)
+                if not mono:  # per-channel contract: DFPWM lanes are C == 1
+                    out = out[:, None, :]
+                    new_fir = new_fir[:, None]
+                new_fir = jnp.where(mask1[:, None] if not mono else mask1,
+                                    new_fir, fir)
                 new_leaves = [
                     jnp.where(mask1, nl, ol)
                     for nl, ol in zip(jax.tree_util.tree_leaves(new_state), state_leaves)
@@ -336,13 +366,19 @@ class _Group:
 
             return self._wrap_step(step)
 
+        mono = self.mono
+
         def step(bytes_u8, mask2d, fir, *state_leaves):
             state = jax.tree_util.tree_unflatten(state_def, state_leaves)
-            f, new_state = decode(bytes_u8, state)
+            f, new_state = decode(bytes_u8, state)  # [L, T] or [L, C, T]
             out, new_fir = dsp_chain(f, in_rate, out_rate, fir_state=fir)
-            out = jnp.where(mask2d, out, 0)
             mask1 = mask2d[:, 0]
-            new_fir = jnp.where(mask1, new_fir, fir)
+            if mono:
+                out = jnp.where(mask2d, out, 0)
+                new_fir = jnp.where(mask1, new_fir, fir)
+            else:
+                out = jnp.where(mask1[:, None, None], out, 0)
+                new_fir = jnp.where(mask1[:, None], new_fir, fir)
             new_leaves = [
                 jnp.where(mask1, nl, ol)
                 for nl, ol in zip(jax.tree_util.tree_leaves(new_state), state_leaves)
@@ -363,14 +399,15 @@ class _Group:
             return jax.jit(step)
         P = jax.sharding.PartitionSpec
         axes = tuple(self.mesh.axis_names)
-        lane1, lane2 = P(axes), P(axes, None)
+        lane1, lane2, lane3 = P(axes), P(axes, None), P(axes, None, None)
         nstate = len(self._state_leaves)
+        out_spec, fir_spec = (lane2, lane1) if self.mono else (lane3, lane2)
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
         # metadata, and the steps are collective-free by construction
         return jax.jit(jax.shard_map(
             step, mesh=self.mesh,
-            in_specs=(lane2, lane2, lane1) + (lane1,) * nstate,
-            out_specs=(lane2, lane1) + (lane1,) * nstate,
+            in_specs=(lane2, lane2, fir_spec) + (lane1,) * nstate,
+            out_specs=(out_spec, fir_spec) + (lane1,) * nstate,
             check_vma=False,
         ))
 
@@ -403,8 +440,8 @@ class _Group:
             self.fifo = out_dev
         else:
             self.fifo = _dev_push(self.fifo, out_dev)  # async jitted dispatch
-        self.fill += out_dev.shape[1]
-        self.spans.append((out_dev.shape[1], ready))
+        self.fill += out_dev.shape[-1]
+        self.spans.append((out_dev.shape[-1], ready))
 
     def fifo_pop(self, count: int):
         """Pop ``count`` samples (zero-padded if short). Returns
@@ -418,7 +455,9 @@ class _Group:
         else:
             # device width: sharded groups carry pad rows (window widths must
             # match the dlanes-based offsets in _inv_perm_dev)
-            window = jnp.zeros((self.dlanes, count), jnp.int8)
+            shape = ((self.dlanes, count) if self.mono
+                     else (self.dlanes, self.out_ch, count))
+            window = jnp.zeros(shape, jnp.int8)
         had_real = np.zeros(self.lanes, bool)
         remaining = take
         while remaining > 0 and self.spans:
@@ -443,6 +482,16 @@ class BatchStreamEngine:
     mesh : optional Mesh; every group's lanes shard over all axes (mixed
         fleets too — each group pads to a device-count multiple)
     use_pallas : force/disable the Pallas kernels (default: auto on TPU)
+    mono : True (default) mixes every lane to mono windows ``int8[L, T]``;
+        False keeps the decoded channels — windows become ``int8[L, C, T]``
+        with C = the fleet's max channel count, lanes with fewer channels
+        replicating channel 0 (the reference's per-channel chunk contract,
+        aukit.lua:2223-2227, with its speaker fallback ``chunk[i] or
+        chunk[1]``, aukit.lua:1935)
+    windowed : None (default) emits uniform 1-second windows only for
+        heterogeneous fleets (homogeneous engines emit raw decode chunks,
+        the flagship bench path); True forces the windowed contract even for
+        a single group (the Fleet facade's uniform output)
     """
 
     def __init__(
@@ -450,22 +499,28 @@ class BatchStreamEngine:
         specs: Sequence[LaneSpec],
         mesh: jax.sharding.Mesh | None = None,
         use_pallas: bool | None = None,
+        mono: bool = True,
+        windowed: bool | None = None,
     ):
         specs = list(specs)
         if not specs:
             raise ValueError("need at least one lane")
         self.lanes = len(specs)
         self.specs = specs
+        self.mono = mono
+        self.out_channels = 1 if mono else max(s.channels for s in specs)
         by_spec: dict[LaneSpec, list[int]] = {}
         for i, s in enumerate(specs):
             by_spec.setdefault(s, []).append(i)
-        self.heterogeneous = len(by_spec) > 1
-        if self.heterogeneous:
+        self.heterogeneous = (len(by_spec) > 1 if windowed is None
+                              else bool(windowed) or len(by_spec) > 1)
+        if len(by_spec) > 1:
             for s in by_spec:
                 if s.chunk_bytes:
                     raise ValueError("chunk_bytes overrides require a homogeneous engine")
         self.groups = [
-            _Group(s, np.array(slots), mesh, use_pallas, CONFIG.output_rate)
+            _Group(s, np.array(slots), mesh, use_pallas, CONFIG.output_rate,
+                   mono=mono)
             for s, slots in by_spec.items()
         ]
         self._lane_map: list[tuple[int, int]] = [None] * self.lanes  # lane -> (gi, slot)
@@ -532,7 +587,8 @@ class BatchStreamEngine:
 
         ``chunk`` is a device int8 array in both modes (homogeneous:
         [L, out_samples] straight from the dispatch; heterogeneous:
-        [L, output_rate] windows assembled on device from per-group FIFOs) —
+        [L, output_rate] windows assembled on device from per-group FIFOs;
+        with ``mono=False`` a channel axis rides in between: [L, C, ...]) —
         dispatches are async, so staging the next chunk overlaps device
         compute and audio crosses to the host only when fetched."""
         if self.done:
@@ -584,8 +640,12 @@ class BatchStreamEngine:
             else:
                 # starved (not exhausted): hold the partial FIFO — popping it
                 # now would zero-pad silence INTO the lane's timeline
-                got = jnp.zeros((g.dlanes, out_rate), jnp.int8)
+                shape = ((g.dlanes, out_rate) if self.mono
+                         else (g.dlanes, g.out_ch, out_rate))
+                got = jnp.zeros(shape, jnp.int8)
                 had_real = np.zeros(g.lanes, bool)
+            if not self.mono and g.out_ch < self.out_channels:
+                got = _dev_padch(got, self.out_channels)
             windows.append(got)
             mask[g.slots] = had_real
         if not mask.any():
@@ -614,12 +674,14 @@ class BatchStreamEngine:
                 "(step() until the group drains, or checkpoint a finished lane)")
         byte_offset = int(g.samples_in[slot] * g.in_bytes // g.in_samples)
         codec_state = [np.asarray(leaf)[slot].copy() for leaf in g._state_leaves]
+        fir = np.asarray(g.fir)[slot]
         return {
             "byte_offset": byte_offset,
             "pending": g.io.pending_bytes(slot),
             "eof": bool(g.io.eof[slot]),
             "codec_state": codec_state,
-            "fir_state": float(np.asarray(g.fir)[slot]),
+            # mono: scalar float (round-1 format); mono=False: f32[C] row
+            "fir_state": float(fir) if fir.ndim == 0 else fir.copy(),
         }
 
     def restore(self, lane: int, ckpt: dict):
@@ -646,6 +708,18 @@ class BatchStreamEngine:
         gi, slot = self._lane_map[lane]
         self.restore(lane, zero)
         self.groups[gi].samples_out[slot] = 0
+
+    def lane_iterator(self, lane: int):
+        """Generator of ``(chunk, position_seconds)`` for ONE lane — the
+        stream-iterator facade over the batched engine, directly consumable by
+        ``playback.play`` / ``playback.player`` (with ``mono=False`` each
+        chunk is [C, T]: sink i receives channel i, the reference fan-out,
+        aukit.lua:1929-1940). NOTE: iterating advances the WHOLE engine; use
+        one consumer thread per engine, not per lane."""
+        while (r := self.step()) is not None:
+            chunk, mask, pos = r
+            if mask[lane]:
+                yield np.asarray(chunk[lane]), float(pos[lane])
 
 
 class BatchDfpwmDecoder(BatchStreamEngine):

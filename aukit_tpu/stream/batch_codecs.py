@@ -238,28 +238,32 @@ def _be16(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(v >= 32768, v - 65536, v)
 
 
-# -- per-codec decoders (bytes -> mono float) ------------------------------------------
+# -- per-codec decoders (bytes -> float; mono [L, T] or per-channel
+# [L, C, T] — the batched analog of the reference's per-channel chunk
+# contract, aukit.lua:2223-2227) ----------------------------------------------
 
-def _frames(spec: LaneSpec, f: jnp.ndarray) -> jnp.ndarray:
-    """Interleaved samples -> mono [L, T] (mean mixdown, aukit.lua:685-687)."""
+def _frames(spec: LaneSpec, f: jnp.ndarray, mono: bool = True) -> jnp.ndarray:
+    """Interleaved samples -> mono [L, T] (mean mixdown, aukit.lua:685-687)
+    or, with ``mono=False``, per-channel [L, C, T]."""
     L = f.shape[0]
-    return _mono(jnp.moveaxis(f.reshape(L, -1, spec.channels), -1, -2))
+    x = jnp.moveaxis(f.reshape(L, -1, spec.channels), -1, -2)
+    return _mono(x) if mono else x
 
 
-def _decode_pcm8(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+def _decode_pcm8(spec: LaneSpec, b: jnp.ndarray, mono: bool = True) -> jnp.ndarray:
     v = b.astype(jnp.int32)
     v = jnp.where(v >= 128, v - 256, v)
-    return _frames(spec, _norm8(v))
+    return _frames(spec, _norm8(v), mono)
 
 
-def _decode_pcm8u(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+def _decode_pcm8u(spec: LaneSpec, b: jnp.ndarray, mono: bool = True) -> jnp.ndarray:
     """Unsigned 8-bit (WAV): bias 128 then asymmetric normalize (Q1 path,
     aukit.lua:1088/1152)."""
     v = b.astype(jnp.int32) - 128
-    return _frames(spec, _norm8(v))
+    return _frames(spec, _norm8(v), mono)
 
 
-def _decode_pcm24(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+def _decode_pcm24(spec: LaneSpec, b: jnp.ndarray, mono: bool = True) -> jnp.ndarray:
     x = b.astype(jnp.int32)
     if spec.codec.endswith("be"):
         v = (x[:, 0::3] << 16) | (x[:, 1::3] << 8) | x[:, 2::3]
@@ -267,7 +271,7 @@ def _decode_pcm24(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
         v = (x[:, 2::3] << 16) | (x[:, 1::3] << 8) | x[:, 0::3]
     v = jnp.where(v >= 1 << 23, v - (1 << 24), v)
     f = v.astype(jnp.float32) / jnp.where(v < 0, 8388608.0, 8388607.0)
-    return _frames(spec, f)
+    return _frames(spec, f, mono)
 
 
 def _u32_words(b: jnp.ndarray, big_endian: bool) -> jnp.ndarray:
@@ -277,37 +281,38 @@ def _u32_words(b: jnp.ndarray, big_endian: bool) -> jnp.ndarray:
     return (u[:, 3::4] << 24) | (u[:, 2::4] << 16) | (u[:, 1::4] << 8) | u[:, 0::4]
 
 
-def _decode_pcm32(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+def _decode_pcm32(spec: LaneSpec, b: jnp.ndarray, mono: bool = True) -> jnp.ndarray:
     v = jax.lax.bitcast_convert_type(_u32_words(b, spec.codec.endswith("be")), jnp.int32)
     f = v.astype(jnp.float32) / jnp.where(v < 0, 2147483648.0, 2147483647.0)
-    return _frames(spec, f)
+    return _frames(spec, f, mono)
 
 
-def _decode_f32(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+def _decode_f32(spec: LaneSpec, b: jnp.ndarray, mono: bool = True) -> jnp.ndarray:
     """Raw IEEE f32 samples, used directly like the reference's float loader
     (aukit.lua:1102: no normalization)."""
     f = jax.lax.bitcast_convert_type(_u32_words(b, spec.codec.endswith("be")), jnp.float32)
-    return _frames(spec, f)
+    return _frames(spec, f, mono)
 
 
-def _decode_pcm16(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+def _decode_pcm16(spec: LaneSpec, b: jnp.ndarray, mono: bool = True) -> jnp.ndarray:
     if spec.codec == "pcm16be":
         v = _be16(b[:, 0::2], b[:, 1::2])
     else:
         v = _le16(b[:, 0::2], b[:, 1::2])
     L = v.shape[0]
-    f = _norm16(v).reshape(L, -1, spec.channels)
-    return _mono(jnp.moveaxis(f, -1, -2))
+    f = jnp.moveaxis(_norm16(v).reshape(L, -1, spec.channels), -1, -2)
+    return _mono(f) if mono else f
 
 
-def _decode_g711(spec: LaneSpec, b: jnp.ndarray) -> jnp.ndarray:
+def _decode_g711(spec: LaneSpec, b: jnp.ndarray, mono: bool = True) -> jnp.ndarray:
     from ..codecs.g711 import decode_g711_device
 
     f = decode_g711_device(b, spec.codec == "ulaw", spec.channels, 0x2000)
-    return _mono(f)
+    return _mono(f) if mono else f
 
 
-def _decode_ima(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+def _decode_ima(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool,
+                mono: bool = True) -> jnp.ndarray:
     """WAV-layout IMA blocks (aukit.lua:1511-1541): per-channel 4 B headers,
     then (stereo) channel-alternating 4-byte nibble groups; low nibble first."""
     ba, ch = spec.block_align, spec.channels
@@ -343,12 +348,16 @@ def _decode_ima(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.ndarray
     else:
         out, _ = ima_adpcm_scan(lanes, pred0, sidx0)
     if ch == 1:
-        return _norm16(out.reshape(L, -1))
+        flat = _norm16(out.reshape(L, -1))
+        return flat if mono else flat[:, None, :]
     f = _norm16(out).reshape(L, K, 2, -1)
-    return _mono(f).reshape(L, -1)
+    if mono:
+        return _mono(f).reshape(L, -1)
+    return jnp.moveaxis(f, 2, 1).reshape(L, 2, -1)
 
 
-def _decode_msadpcm(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+def _decode_msadpcm(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool,
+                    mono: bool = True) -> jnp.ndarray:
     """MS ADPCM blocks (aukit.lua:1283-1353): stereo header <BBhhhhhh with
     channel-alternating nibbles (hi=L, lo=R); mono header <Bhhh. The two
     header samples (s2 then s1) are emitted before the predictors."""
@@ -390,12 +399,16 @@ def _decode_msadpcm(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool) -> jnp.nda
         preds = msadpcm_scan(nib, c1, c2, delta, s1, s2)
     full = jnp.concatenate([s2[:, None], s1[:, None], preds], axis=1)  # [lanes, 2+T]
     if ch == 1:
-        return _norm16(full.reshape(L, -1))
+        flat = _norm16(full.reshape(L, -1))
+        return flat if mono else flat[:, None, :]
     f = _norm16(full).reshape(L, K, 2, -1)
-    return _mono(f).reshape(L, -1)
+    if mono:
+        return _mono(f).reshape(L, -1)
+    return jnp.moveaxis(f, 2, 1).reshape(L, 2, -1)
 
 
-def _decode_qoa(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
+def _decode_qoa(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool = False,
+                mono: bool = True) -> jnp.ndarray:
     """QOA frames (aukit.lua:1713-1775): 8 B header + per-channel LMS state +
     64-bit big-endian slices interleaved one-per-channel per 20-sample group.
     Residual extraction is pure uint32 shift/mask math on the VPU; samples
@@ -438,24 +451,31 @@ def _decode_qoa(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool = False) -> jnp
     recon = recon.reshape(L, K, ch, QOA_SAMPLES_PER_FRAME)
     t = jnp.arange(QOA_SAMPLES_PER_FRAME, dtype=jnp.int32)
     recon = jnp.where(t[None, None, None, :] < samples[..., None, None], recon, 0)
-    return _norm16(_mono(recon)).reshape(L, -1)
+    if mono:  # mean of the int samples, then the asymmetric normalize
+        return _norm16(_mono(recon)).reshape(L, -1)
+    return _norm16(jnp.moveaxis(recon, 2, 1)).reshape(L, ch, -1)
 
 
-def build_decoder(spec: LaneSpec, use_pallas: bool):
-    """Return (fn, stateful): fn(bytes_u8, state) -> (f32[L, in_samples], state).
-    Only DFPWM threads codec state between steps; all block codecs read their
-    state in-band. ``fn`` is pure/jittable (Pallas calls trace under jit)."""
+def build_decoder(spec: LaneSpec, use_pallas: bool, mono: bool = True):
+    """Return (fn, stateful): fn(bytes_u8, state) -> (f32 samples, state).
+    Samples are mono [L, in_samples] by default, or per-channel
+    [L, C, in_samples] with ``mono=False`` (the batched analog of the
+    reference's per-channel chunks, aukit.lua:2223-2227). Only DFPWM threads
+    codec state between steps; all block codecs read their state in-band.
+    ``fn`` is pure/jittable (Pallas calls trace under jit)."""
     if spec.codec == "dfpwm":
         if use_pallas:
             from ..kernels.dfpwm_pallas import dfpwm_decode_pallas
 
             def fn(b, state):
                 decoded, new_state = dfpwm_decode_pallas(b, state)
-                return _norm8(decoded.astype(jnp.int32)), new_state
+                f = _norm8(decoded.astype(jnp.int32))
+                return (f if mono else f[:, None, :]), new_state
         else:
             def fn(b, state):
                 decoded, new_state = dfpwm_decode(b, state)
-                return _norm8(decoded), new_state
+                f = _norm8(decoded)
+                return (f if mono else f[:, None, :]), new_state
         return fn, True
     decoders = {
         "pcm8": _decode_pcm8,
@@ -475,12 +495,12 @@ def build_decoder(spec: LaneSpec, use_pallas: bool):
         base = {"ima": _decode_ima, "msadpcm": _decode_msadpcm, "qoa": _decode_qoa}[spec.codec]
 
         def fn(b, state):
-            return base(spec, b, use_pallas), state
+            return base(spec, b, use_pallas, mono), state
     else:
         dec = decoders[spec.codec]
 
         def fn(b, state):
-            return dec(spec, b), state
+            return dec(spec, b, mono), state
     return fn, False
 
 

@@ -1,0 +1,373 @@
+"""One dispatch surface over the batched decode engines (VERDICT r3 item 3).
+
+The reference exposes a single stream dispatch: ``aukit.stream.wav`` walks the
+container header and hands off to the matching ``stream.*`` decoder
+(aukit.lua:2992-2996), so a caller never cares which codec a source uses. The
+batched analog is ``Fleet``: stations of ANY supported source — raw codec
+streams, WAV/AIFF/AU/QOA containers, MDFPWM, FLAC — decode concurrently
+behind ONE feed/step/checkpoint/metrics contract with one output dtype.
+
+Internally a Fleet multiplexes the two batched engines:
+
+ - non-FLAC stations become ``BatchStreamEngine`` lanes (container headers map
+   through the ``lane_spec_for_*`` bridges; MDFPWM de-interleaves into two
+   mono DFPWM lanes that re-merge at the station boundary);
+ - FLAC stations become ``FlacFleet`` lanes (incremental parse + one batched
+   LPC-restore dispatch per step).
+
+Output contract: ``step()`` -> (windows int8[N, T] — int8[N, C, T] with
+``mono=False`` — mask bool[N], positions f64[N]) uniform one-second windows
+across every station (engine forced into windowed mode; FLAC float windows
+quantize with the engine's truncating int8 cast). The facade fetches windows
+to the host to merge the two engines' outputs — fleets that need
+device-resident windows use the engines directly.
+
+Semantics notes:
+ - engine-lane stations run the engine DSP (dsp_chain 2-tap FIR); MDFPWM
+   stations therefore carry the engine's identity-rate smoothing rather than
+   solo ``stream.mdfpwm``'s unsmoothed path (the bridges' documented
+   semantics, tests/test_batch.py mdfpwm bridge test);
+ - container stations must present the full header in their construction
+   bytes (the reference requires the first chunk to hold the header too,
+   aukit.lua:2929); later ``feed()`` bytes continue the same byte stream and
+   are clipped to the container's declared data range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import CONFIG
+from .batch import BatchMetrics, BatchStreamEngine
+from .batch_codecs import (LaneSpec, lane_spec_for_aiff, lane_spec_for_au,
+                           lane_spec_for_qoa, lane_spec_for_wav)
+from .flac_fleet import FlacFleet, _fit_channels
+
+__all__ = ["Fleet"]
+
+_PCM_CODEC = {
+    ("signed", 8): "pcm8", ("unsigned", 8): "pcm8u",
+    ("signed", 16): "pcm16", ("signed", 24): "pcm24",
+    ("signed", 32): "pcm32", ("float", 32): "f32",
+}
+
+
+class _Station:
+    __slots__ = ("kind", "lanes", "body_start", "body_end", "fed", "mdf_buf",
+                 "mdf_per", "mdf_sent", "info")
+
+    def __init__(self, kind: str):
+        self.kind = kind  # "engine" | "flac" | "mdfpwm"
+        self.lanes: list[int] = []  # indices into the owning engine
+        self.body_start = 0  # absolute stream offset of codec body
+        self.body_end: int | None = None  # exclusive; None = unbounded
+        self.fed = 0  # absolute bytes seen (incl. header)
+        self.mdf_buf = bytearray()  # undelivered interleaved L/R blocks
+        self.mdf_per = 0  # bytes per channel (MDFPWM length trim)
+        self.mdf_sent = 0  # bytes delivered per lane so far
+        self.info: dict = {}
+
+
+def _detect_station(data: bytes):
+    """(kind, spec_or_None, body_start, body_end, info) for one source."""
+    from ..containers.detect import detect_format
+
+    kind, depth, dtype = detect_format(bytes(data[:64]) + b"\x00" * 64)
+    if kind == "wav":
+        spec, off, size = lane_spec_for_wav(data)
+        return "engine", spec, off, off + size, {}
+    if kind == "aiff":
+        spec, off, size = lane_spec_for_aiff(data)
+        return "engine", spec, off, off + size, {}
+    if kind == "au":
+        spec, off, _size = lane_spec_for_au(data)
+        return "engine", spec, off, None, {}
+    if kind == "qoa":
+        spec, off, _size = lane_spec_for_qoa(data)
+        return "engine", spec, off, None, {}
+    if kind == "flac":
+        return "flac", None, 0, None, {}
+    if kind == "mdfpwm":
+        return "mdfpwm", None, 0, None, {}
+    if kind == "dfpwm":
+        return "engine", LaneSpec("dfpwm", 48000), 0, None, {}
+    if kind == "pcm":
+        codec = _PCM_CODEC.get((dtype, depth))
+        if codec is None:
+            raise ValueError(f"no fleet mapping for pcm {dtype}/{depth}")
+        return "engine", LaneSpec(codec, 48000, 1), 0, None, {}
+    raise ValueError(f"cannot detect source format ({kind!r})")
+
+
+class Fleet:
+    """Unified batched decoder over mixed sources (see module docstring).
+
+    Parameters
+    ----------
+    sources : sequence of stations; each is raw ``bytes`` (format
+        auto-detected, reference aukit.detect semantics) or an explicit
+        ``(LaneSpec, bytes)`` pair. Construction bytes must include the
+        container header; body bytes may keep arriving via ``feed``.
+    eof : mark every station ended at construction (whole-file fleets);
+        with ``eof=False`` call ``feed(i, None)`` per station when its
+        source ends
+    mono / channels : window channel contract (matches BatchStreamEngine /
+        FlacFleet: mono [N, T], else per-channel [N, channels, T])
+    interpolation : per-fleet resample mode override (FLAC lanes; engine
+        lanes use the engine DSP)
+    mesh / use_pallas / device_restore / device_dsp : forwarded to the
+        underlying engines
+    """
+
+    def __init__(self, sources, eof: bool = True, mesh=None,
+                 mono: bool = True, channels: int = 2,
+                 interpolation: str | None = None,
+                 use_pallas: bool | None = None,
+                 device_restore: bool | None = None,
+                 device_dsp: bool = False):
+        self.mono = mono
+        self.out_ch = 1 if mono else channels
+        self.out_rate = CONFIG.output_rate
+        self.stations: list[_Station] = []
+        specs: list[LaneSpec] = []
+        initial: list[bytes] = []
+        n_flac = 0
+        # pass 1: detect formats and lay out lanes (headers only)
+        for src in sources:
+            if isinstance(src, tuple):
+                spec, data = src
+                data = bytes(data)
+                st = _Station("engine")
+                st.lanes = [len(specs)]
+                specs.append(spec)
+            else:
+                data = bytes(src)
+                kind, spec, off, end, info = _detect_station(data)
+                st = _Station(kind)
+                st.body_start, st.body_end, st.info = off, end, info
+                if kind == "engine":
+                    st.lanes = [len(specs)]
+                    specs.append(spec)
+                elif kind == "flac":
+                    st.lanes = [n_flac]
+                    n_flac += 1
+                else:  # mdfpwm: two mono DFPWM lanes, merged at the station
+                    st.mdf_per = self._mdfpwm_init(data, st)
+                    st.lanes = [len(specs), len(specs) + 1]
+                    specs.extend([LaneSpec("dfpwm", 48000, 1)] * 2)
+            self.stations.append(st)
+            initial.append(data)
+        self.engine = None
+        if specs:
+            self.engine = BatchStreamEngine(
+                specs, mesh=mesh, use_pallas=use_pallas, mono=mono,
+                windowed=True)
+        self.flac = None
+        if n_flac:
+            self.flac = FlacFleet(
+                n_flac, device_restore=device_restore, mesh=mesh,
+                device_dsp=device_dsp, mono=mono, channels=channels,
+                interpolation=interpolation)
+        # pass 2: route every construction byte through the one feed path
+        for i, data in enumerate(initial):
+            self.feed(i, data)
+            if eof:
+                self.feed(i, None)
+
+    def _mdfpwm_init(self, data: bytes, st: _Station) -> int:
+        from ..containers.mdfpwm import parse_mdfpwm_header
+
+        length, artist, title, album, hdr = parse_mdfpwm_header(data)
+        st.body_start = hdr
+        st.info = {"artist": artist, "title": title, "album": album,
+                   "length": length}
+        return length // 2
+
+    # -- ingestion -----------------------------------------------------------
+    def feed(self, station: int, data: bytes | None):
+        """Append source bytes to a station (None = end-of-stream). Bytes
+        continue the SAME byte stream the construction data started."""
+        st = self.stations[station]
+        if st.kind == "flac":
+            self.flac.feed(st.lanes[0], data)
+            if data is not None:
+                st.fed += len(data)
+            return
+        if st.kind == "mdfpwm":
+            self._mdfpwm_feed(st, data)
+            return
+        lane = st.lanes[0]
+        if data is None:
+            self.engine.feed(lane, None)
+            return
+        # clip the feed to the container's declared body range
+        lo, hi = st.fed, st.fed + len(data)
+        st.fed = hi
+        a = max(lo, st.body_start)
+        b = hi if st.body_end is None else min(hi, st.body_end)
+        if b > a:
+            self.engine.feed(lane, data[a - lo: b - lo])
+
+    def _mdfpwm_feed(self, st: _Station, data: bytes | None):
+        if data is not None:
+            lo = st.fed
+            st.fed += len(data)
+            a = max(lo, st.body_start)  # skip header bytes
+            if a < st.fed:
+                st.mdf_buf.extend(data[a - lo:])
+            pairs = len(st.mdf_buf) // 12000
+            if pairs:
+                arr = np.frombuffer(bytes(st.mdf_buf[: pairs * 12000]),
+                                    np.uint8).reshape(pairs, 2, 6000)
+                del st.mdf_buf[: pairs * 12000]
+                room = st.mdf_per - st.mdf_sent
+                left = arr[:, 0].reshape(-1).tobytes()[:room]
+                right = arr[:, 1].reshape(-1).tobytes()[:room]
+                st.mdf_sent += len(left)
+                if left:
+                    self.engine.feed(st.lanes[0], left)
+                    self.engine.feed(st.lanes[1], right)
+            return
+        # EOF: deliver the buffered tail split L/R (reference tail handling,
+        # aukit.lua:1436-1441), then end both lanes
+        tail = bytes(st.mdf_buf)
+        st.mdf_buf.clear()
+        room = st.mdf_per - st.mdf_sent
+        left, right = tail[:6000], tail[6000:12000]
+        if left[:room]:
+            self.engine.feed(st.lanes[0], left[:room])
+        if right[:room]:
+            self.engine.feed(st.lanes[1], right[:room])
+        self.engine.feed(st.lanes[0], None)
+        self.engine.feed(st.lanes[1], None)
+
+    # -- queries ---------------------------------------------------------------
+    @property
+    def done(self) -> bool:
+        if self.engine is not None and not self.engine.done:
+            return False
+        if self.flac is not None and not self.flac.done:
+            return False
+        return True
+
+    @property
+    def active(self) -> np.ndarray:
+        eng = self.engine.active if self.engine is not None else None
+        fl = self.flac.active if self.flac is not None else None
+        out = np.zeros(len(self.stations), bool)
+        for i, st in enumerate(self.stations):
+            src = fl if st.kind == "flac" else eng
+            out[i] = any(src[ln] for ln in st.lanes)
+        return out
+
+    def station_info(self, station: int) -> dict | None:
+        st = self.stations[station]
+        if st.kind == "flac":
+            return self.flac.lane_info(st.lanes[0])
+        return dict(st.info)
+
+    def station_error(self, station: int) -> str | None:
+        st = self.stations[station]
+        if st.kind == "flac":
+            return self.flac.lane_error(st.lanes[0])
+        return None
+
+    @property
+    def metrics(self) -> BatchMetrics:
+        m = BatchMetrics()
+        for sub in (self.engine, self.flac):
+            if sub is None:
+                continue
+            m.steps = max(m.steps, sub.metrics.steps)
+            m.samples_decoded += sub.metrics.samples_decoded
+            m.wall_seconds += sub.metrics.wall_seconds
+            m.underruns += sub.metrics.underruns
+        return m
+
+    # -- the batched step ---------------------------------------------------------
+    def step(self):
+        """One batched step across every station. Returns
+        (windows int8[N, T] | int8[N, C, T], mask bool[N], positions f64[N])
+        or None when no station can produce."""
+        er = self.engine.step() if self.engine is not None else None
+        fr = self.flac.step() if self.flac is not None else None
+        if er is None and fr is None:
+            return None
+        N = len(self.stations)
+        shape = ((N, self.out_rate) if self.mono
+                 else (N, self.out_ch, self.out_rate))
+        windows = np.zeros(shape, np.int8)
+        mask = np.zeros(N, bool)
+        positions = np.zeros(N, np.float64)
+        ew = None if er is None else np.asarray(er[0])
+        fw = None if fr is None else fr[0]
+        for i, st in enumerate(self.stations):
+            if st.kind == "flac":
+                if fr is None:
+                    continue
+                ln = st.lanes[0]
+                positions[i] = fr[2][ln]
+                if fr[1][ln]:
+                    mask[i] = True
+                    # the engine's truncating int8 quantize (dsp_chain cast)
+                    windows[i] = np.clip(fw[ln], -128, 127).astype(np.int8)
+                continue
+            if er is None:
+                continue
+            positions[i] = er[2][st.lanes[0]]
+            if st.kind == "engine":
+                if er[1][st.lanes[0]]:
+                    mask[i] = True
+                    windows[i] = ew[st.lanes[0]]
+            else:  # mdfpwm: merge the L/R lanes at the station boundary
+                li, ri = st.lanes
+                if er[1][li] or er[1][ri]:
+                    mask[i] = True
+                    left, right = ew[li], ew[ri]
+                    if self.mono:
+                        # fixed Q3 mixdown: floor((l + r) / 2)
+                        windows[i] = np.floor(
+                            (left.astype(np.float64)
+                             + right.astype(np.float64)) / 2).astype(np.int8)
+                    else:
+                        lr = np.stack([left[0] if left.ndim == 2 else left,
+                                       right[0] if right.ndim == 2 else right])
+                        windows[i] = _fit_channels(lr, self.out_ch)
+        if not mask.any():
+            return None
+        return windows, mask, positions
+
+    # -- checkpoint / resume (SURVEY.md §5.4) --------------------------------------
+    def checkpoint(self, station: int) -> dict:
+        """Serializable station state (delegates to the owning engine; MDFPWM
+        stations carry both lane checkpoints plus the de-interleave cursor)."""
+        st = self.stations[station]
+        if st.kind == "flac":
+            return {"kind": "flac", "sub": self.flac.checkpoint(st.lanes[0])}
+        if st.kind == "engine":
+            return {"kind": "engine", "fed": st.fed,
+                    "sub": self.engine.checkpoint(st.lanes[0])}
+        return {
+            "kind": "mdfpwm", "fed": st.fed,
+            "buf": bytes(st.mdf_buf), "sent": st.mdf_sent, "per": st.mdf_per,
+            "sub": [self.engine.checkpoint(ln) for ln in st.lanes],
+        }
+
+    def restore(self, station: int, ckpt: dict):
+        st = self.stations[station]
+        if ckpt["kind"] != st.kind:
+            raise ValueError(f"checkpoint kind {ckpt['kind']!r} != station "
+                             f"kind {st.kind!r}")
+        if st.kind == "flac":
+            self.flac.restore(st.lanes[0], ckpt["sub"])
+            return
+        if st.kind == "engine":
+            st.fed = ckpt["fed"]
+            self.engine.restore(st.lanes[0], ckpt["sub"])
+            return
+        st.fed = ckpt["fed"]
+        st.mdf_buf = bytearray(ckpt["buf"])
+        st.mdf_sent = ckpt["sent"]
+        st.mdf_per = ckpt["per"]
+        for ln, sub in zip(st.lanes, ckpt["sub"]):
+            self.engine.restore(ln, sub)

@@ -1,83 +1,109 @@
-"""Example: a mixed-codec decode fleet — DFPWM + WAV/PCM16 + IMA ADPCM + QOA
-clients at different sample rates, all through ONE BatchStreamEngine
-(SURVEY.md §2.4's multi-stream ingestion axis; the reference's whole
-stream-dispatch surface aukit.lua:2992-2996 as engine lanes).
+"""Example: a mixed-format radio server on ONE dispatch surface.
 
-Each tick delivers bursty per-client bytes, the engine emits uniform one-
-second int8 windows per lane with per-lane masks and positions.
+FLAC stations, raw DFPWM stations and IMA-ADPCM-in-WAV stations drip-feed
+bytes at jittery realtime-ish rates through a single ``Fleet`` (stream/
+fleet.py) — the batched analog of the reference's one stream dispatch
+(aukit.stream.wav hand-off, aukit.lua:2992-2996). One loop, one step() call,
+one int8 window matrix per tick; internally the facade multiplexes the
+BatchStreamEngine (DFPWM kernel lanes + IMA block lanes) and the FlacFleet
+(one batched LPC-restore dispatch) per step.
 
-Run:  python examples/mixed_fleet_server.py [lanes_per_codec] [seconds]
+Run:  python examples/mixed_fleet_server.py [stations] [seconds]
 """
 
 from __future__ import annotations
 
+import os
+import struct
 import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-def main(per_codec: int = 64, duration_s: float = 3.0):
-    import aukit_tpu as ak
-    from aukit_tpu.stream.batch import BatchStreamEngine, LaneSpec
+
+def _flac_station(rng, seconds: int) -> bytes:
+    from examples.flac_radio_fleet import _make_station
+
+    return _make_station(rng, seconds)
+
+
+def _dfpwm_station(rng, seconds: int) -> bytes:
+    # encode a drifting tone through the library's own encoder so the
+    # stream is genuine DFPWM, then mark it with a LaneSpec at add time
+    return bytes(rng.integers(0, 256, seconds * 6000, dtype=np.uint8))
+
+
+def _ima_wav_station(rng, seconds: int) -> bytes:
+    """A real WAV file wrapping IMA-ADPCM blocks (fmt code 0x11)."""
+    rate, ba = 16000, 256
+    spb = (ba - 4) * 2
+    nblocks = -(-seconds * rate // spb)
+    payload = bytearray()
+    for b in range(nblocks):
+        payload += struct.pack("<hBx", int(rng.integers(-2000, 2000)),
+                               int(rng.integers(0, 89)))
+        payload += rng.integers(0, 256, ba - 4, dtype=np.uint8).tobytes()
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, rate, rate * ba // spb, ba, 4,
+                      2, spb)
+    data = bytes(payload)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def main(stations: int = 48, seconds: int = 6):
+    from aukit_tpu.stream.batch import LaneSpec
+    from aukit_tpu.stream.fleet import Fleet
 
     rng = np.random.default_rng(0)
-    ba = 256
-    specs = ([LaneSpec("dfpwm", 48000)] * per_codec
-             + [LaneSpec("pcm16", 44100)] * per_codec
-             + [LaneSpec("ima", 22050, 1, block_align=ba)] * per_codec
-             + [LaneSpec("ulaw", 8000)] * per_codec)
-    L = len(specs)
+    print(f"synthesizing {stations} mixed stations ({seconds}s each)...")
+    sources, feeds = [], []
+    for i in range(stations):
+        kind = i % 3
+        if kind == 0:
+            data = _flac_station(rng, seconds)
+            src = data[:8192]  # header + first frames up front
+        elif kind == 1:
+            data = _dfpwm_station(rng, seconds)
+            src = (LaneSpec("dfpwm", 48000), data[:6000])
+        else:
+            data = _ima_wav_station(rng, seconds)
+            src = data[:8192]
+        sources.append(src)
+        feeds.append(data)
 
-    print(f"synthesizing {L} client streams ({duration_s:.1f}s each)...")
-    streams: list[bytes] = []
-    for i, spec in enumerate(specs):
-        f = float(rng.uniform(110, 1760))
-        if spec.codec == "dfpwm":
-            streams.append(ak.tone(f, duration_s, 0.6, "sine", sample_rate=48000).dfpwm(True))
-        elif spec.codec == "pcm16":
-            t = np.arange(int(44100 * duration_s)) / 44100
-            streams.append((np.sin(2 * np.pi * f * t) * 20000).astype("<i2").tobytes())
-        elif spec.codec == "ima":
-            nblocks = int(22050 * duration_s) // ((ba - 4) * 2) + 1
-            blocks = bytearray()
-            for _b in range(nblocks):
-                blocks += int(0).to_bytes(2, "little") + bytes([40, 0])
-                blocks += rng.integers(0, 256, ba - 4, dtype=np.uint8).tobytes()
-            streams.append(bytes(blocks))
-        else:  # ulaw
-            streams.append(rng.integers(0, 256, int(8000 * duration_s), dtype=np.uint8).tobytes())
+    fleet = Fleet(sources, eof=False)
+    offs = [8192 if i % 3 != 1 else 6000 for i in range(stations)]
+    bps = [max(1, len(f) // seconds) for f in feeds]
+    ended = [False] * stations
 
-    eng = BatchStreamEngine(specs)
-    cursors = [0] * L
-    burst = 16384
-    emitted = np.zeros(L, np.int64)
-    t0 = time.perf_counter()
+    t0 = time.time()
     ticks = 0
-    while not eng.done:
-        for lane in range(L):
-            if cursors[lane] >= len(streams[lane]):
-                continue
-            if rng.random() < 0.85:  # jittery delivery
-                eng.feed(lane, streams[lane][cursors[lane] : cursors[lane] + burst])
-                cursors[lane] += burst
-                if cursors[lane] >= len(streams[lane]):
-                    eng.feed(lane, None)
-        r = eng.step()
-        ticks += 1
-        if r is None:
-            continue
-        chunk, mask, pos = r
-        emitted += np.where(mask, chunk.shape[1], 0)
-    wall = time.perf_counter() - t0
-    m = eng.metrics
-    print(f"ticks={ticks} windows emitted per lane ~{emitted.mean()/48000:.1f}s "
-          f"underruns={m.underruns}")
-    print(f"aggregate: {m.samples_decoded / wall / 48000:.0f}x realtime "
-          f"({L} concurrent mixed-codec streams, wall {wall:.2f}s)")
+    while not fleet.done:
+        for i in range(stations):
+            if offs[i] < len(feeds[i]):
+                burst = int(bps[i] * rng.uniform(0.5, 1.5))
+                fleet.feed(i, feeds[i][offs[i]: offs[i] + burst])
+                offs[i] += burst
+            elif not ended[i]:
+                fleet.feed(i, None)
+                ended[i] = True
+        r = fleet.step()
+        if r is not None:
+            _w, mask, positions = r
+            ticks += 1
+            print(f"tick {ticks:3d}: {int(mask.sum()):3d}/{stations} "
+                  f"stations emitted, lead position {positions.max():6.2f}s")
+    dt = time.time() - t0
+    m = fleet.metrics
+    errs = [i for i in range(stations) if fleet.station_error(i)]
+    print(f"\n{m.samples_decoded} samples from {stations} mixed stations "
+          f"in {dt:.2f}s ({m.samples_decoded / dt / 48000:.0f}x realtime "
+          f"aggregate); {len(errs)} poisoned stations")
 
 
 if __name__ == "__main__":
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    secs = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
-    main(n, secs)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 48,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 6)

@@ -541,7 +541,7 @@ def test_batch_checkpoint_generic_stateful_codec(monkeypatch):
 
     import aukit_tpu.stream.batch as B
 
-    def fake_build(spec, use_pallas):
+    def fake_build(spec, use_pallas, mono=True):
         def fn(b, state):
             acc, cnt = state
             x = jnp.repeat(b.astype(jnp.float32), 8, axis=1) / 512.0 - 0.25
@@ -867,3 +867,95 @@ def test_batch_mixed_fleet_kernel_route_sharded_over_mesh(monkeypatch):
         np.testing.assert_array_equal(cs, cp)
         np.testing.assert_array_equal(ms, mp)
         np.testing.assert_array_equal(ps, pp)
+
+
+# -- round 4: multichannel batched output (VERDICT r3 item 2) ---------------------------
+
+def test_batch_multichannel_pcm16_stereo_per_channel():
+    """mono=False: a stereo pcm16 lane emits int8[C, T] windows whose channels
+    are each bit-close to dsp_ref of that channel (no mixdown)."""
+    rate = 24000
+    t = np.arange(rate)  # exactly one engine step
+    left = (np.sin(t / 9.0) * 20000).astype(np.int16)
+    right = (np.cos(t / 5.0) * 15000).astype(np.int16)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    eng = BatchStreamEngine([LaneSpec("pcm16", rate, 2)], mono=False)
+    assert eng.out_channels == 2
+    eng.feed(0, inter.tobytes())
+    eng.feed(0, None)
+    chunk, mask, _pos = eng.step()
+    assert chunk.ndim == 3 and chunk.shape[1] == 2
+    got = np.asarray(chunk[0])
+    for ci, sig in enumerate((left, right)):
+        exp, _ = dsp_ref(norm16f(sig.astype(np.int64)), rate)
+        np.testing.assert_allclose(got[ci][: len(exp)], exp, atol=1)
+
+
+def test_batch_multichannel_qoa_stereo_and_channel_pad():
+    """A mixed mono=False fleet: the stereo QOA lane's channels match the
+    per-channel reference decode; the mono DFPWM lane pads to the fleet's
+    2-channel window by replicating channel 0 (the chunk[i] or chunk[1]
+    speaker fallback)."""
+    rate = 10240
+    data = fixtures.qoa_stream(RNG, 2, rate, [5120, 5120]) + b"\x00" * 8
+    exp_ch = refc.qoa_ref(data)[0]
+    dfpwm_bytes = bytes(RNG.integers(0, 256, 6000, dtype=np.uint8))
+    specs = [LaneSpec("dfpwm", 48000), LaneSpec("qoa", rate, 2)]
+    eng = BatchStreamEngine(specs, mono=False)
+    eng.feed(0, dfpwm_bytes)
+    eng.feed(0, None)
+    eng.feed(1, data[8:])
+    eng.feed(1, None)
+    outs = [[] for _ in specs]
+    while (r := eng.step()) is not None:
+        chunk, mask, _pos = r
+        assert chunk.ndim == 3 and chunk.shape[1] == 2
+        for i in range(len(specs)):
+            if mask[i]:
+                outs[i].append(np.asarray(chunk[i]))
+    df = np.concatenate(outs[0], axis=-1)
+    np.testing.assert_array_equal(df[0], df[1])  # replicated channel 0
+    exp_df = fir_48k(dfpwm_decode_ref(dfpwm_bytes))
+    np.testing.assert_array_equal(df[0][: len(exp_df)], exp_df)
+    qo = np.concatenate(outs[1], axis=-1)
+    for ci in range(2):
+        exp, _ = dsp_ref(norm16f(np.array(exp_ch[ci], np.int64)), rate)
+        np.testing.assert_allclose(qo[ci][: len(exp)], exp, atol=1)
+
+
+def test_batch_multichannel_checkpoint_fir_row_roundtrip():
+    """mono=False checkpoints carry a per-channel FIR row and restore it."""
+    rate = 24000
+    sig = (np.sin(np.arange(rate * 2) / 7.0) * 9000).astype(np.int16)
+    inter = np.stack([sig, -sig], axis=1).reshape(-1)
+    eng = BatchStreamEngine([LaneSpec("pcm16", rate, 2)], mono=False)
+    eng.feed(0, inter.tobytes())
+    eng.step()
+    ck = eng.checkpoint(0)
+    assert np.shape(ck["fir_state"]) == (2,)
+    eng2 = BatchStreamEngine([LaneSpec("pcm16", rate, 2)], mono=False)
+    eng2.restore(0, ck)
+    np.testing.assert_array_equal(np.asarray(eng2.groups[0].fir)[0],
+                                  ck["fir_state"])
+
+
+def test_batch_multichannel_playback_fanout():
+    """lane_iterator + playback.play: a stereo engine lane drives TWO sinks,
+    sink i receiving channel i (aukit.lua:1929-1940 fan-out)."""
+    from aukit_tpu.playback import BufferSink, play
+
+    rate = 24000
+    t = np.arange(rate)
+    left = (np.sin(t / 9.0) * 20000).astype(np.int16)
+    right = (np.cos(t / 5.0) * 15000).astype(np.int16)
+    inter = np.stack([left, right], axis=1).reshape(-1)
+    eng = BatchStreamEngine([LaneSpec("pcm16", rate, 2)], mono=False)
+    eng.feed(0, inter.tobytes())
+    eng.feed(0, None)
+    s1, s2 = BufferSink(), BufferSink()
+    play(eng.lane_iterator(0), s1, s2)
+    for sink, sig in ((s1, left), (s2, right)):
+        exp, _ = dsp_ref(norm16f(sig.astype(np.int64)), rate)
+        got = sink.samples()
+        np.testing.assert_allclose(got[: len(exp)], exp.astype(np.float64),
+                                   atol=1)

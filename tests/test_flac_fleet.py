@@ -596,3 +596,125 @@ def test_fleet_device_restore_false_wins_over_mesh(monkeypatch):
     hosted, _ = run_fleet(datas, fleet=FlacFleet(
         1, device_restore=False, mesh=make_mesh(8)))
     np.testing.assert_array_equal(plain[0], hosted[0])
+
+
+# -- round 4: multichannel windows + per-fleet interpolation -------------------------
+
+def solo_reference_mc(data):
+    it, _total = st.flac(data, mono=False)
+    chunks = [c for c, _p in it]
+    return np.concatenate(chunks, axis=-1)
+
+
+def run_fleet_mc(datas, fleet, chunk=4096):
+    outs = [[] for _ in datas]
+    offs = [0] * len(datas)
+    eof = [False] * len(datas)
+    guard = 0
+    while not fleet.done:
+        for i, d in enumerate(datas):
+            if offs[i] < len(d):
+                fleet.feed(i, d[offs[i]: offs[i] + chunk])
+                offs[i] += chunk
+            elif not eof[i]:
+                fleet.feed(i, None)
+                eof[i] = True
+        r = fleet.step()
+        guard += 1
+        assert guard < 10_000
+        if r is None:
+            continue
+        w, m, _pos = r
+        assert w.ndim == 3
+        for i in range(len(datas)):
+            if m[i]:
+                outs[i].append(w[i])
+    return [np.concatenate(o, axis=-1) if o else
+            np.zeros((fleet.out_ch, 0), np.float32) for o in outs]
+
+
+def test_fleet_multichannel_stereo_bit_equals_solo():
+    """mono=False: a stereo lane's window channels are BIT-equal to solo
+    stream.flac(data, mono=False); a mono lane replicates channel 0 into the
+    fleet's second channel (the chunk[i]-or-chunk[1] fallback)."""
+    stereo = make_flac(44100, 8, channels=2, chan_asgn=10, seed=70)
+    mono_d = make_flac(32000, 8, seed=71)
+    fleet = FlacFleet(2, mono=False)
+    outs = run_fleet_mc([stereo, mono_d], fleet)
+    exp = solo_reference_mc(stereo)
+    got = outs[0]
+    assert got.shape[0] == 2 and got.shape[1] >= exp.shape[1]
+    np.testing.assert_array_equal(got[:, : exp.shape[1]], exp)
+    assert not got[:, exp.shape[1]:].any()
+    # mono lane: channel 1 replicates channel 0; channel 0 equals mono solo
+    m = outs[1]
+    np.testing.assert_array_equal(m[0], m[1])
+    exp_m = solo_reference_mc(mono_d)  # [1, T]
+    np.testing.assert_array_equal(m[0][: exp_m.shape[1]], exp_m[0])
+
+
+def test_fleet_multichannel_checkpoint_roundtrip():
+    """mono=False checkpoints carry the 2-D FIFO remnant and resume
+    bit-exactly mid-window."""
+    data = make_flac(44100, 9, channels=2, chan_asgn=9, seed=72)
+    fleet = FlacFleet(1, mono=False)
+    full = run_fleet_mc([data], fleet)[0]
+    # run a second fleet halfway, checkpoint, restore into a third
+    f2 = FlacFleet(1, mono=False)
+    half = len(data) // 2
+    f2.feed(0, data[:half])
+    got = []
+    for _ in range(3):
+        r = f2.step()
+        if r is not None and r[1][0]:
+            got.append(r[0][0])
+    ck = f2.checkpoint(0)
+    f3 = FlacFleet(1, mono=False)
+    f3.restore(0, ck)
+    f3.feed(0, data[ck["byte_offset"] + len(ck["pending"]):])
+    f3.feed(0, None)
+    guard = 0
+    while not f3.done:
+        r = f3.step()
+        guard += 1
+        assert guard < 1000
+        if r is not None and r[1][0]:
+            got.append(r[0][0])
+    resumed = np.concatenate(got, axis=-1)
+    np.testing.assert_array_equal(resumed, full)
+
+
+def test_fleet_interpolation_override(monkeypatch):
+    """FlacFleet(interpolation=...) pins the fleet's resample mode at
+    construction without touching global CONFIG (VERDICT r3 weak 6)."""
+    import aukit_tpu.config as cfgmod
+
+    data = make_flac(44100, 5, seed=73)
+    assert cfgmod.CONFIG.default_interpolation == "linear"
+    linear = run_fleet([data])[0][0]  # default (linear) fleet, built first
+    fleet_cubic = FlacFleet(1, interpolation="cubic")
+    assert fleet_cubic.mode == "cubic"
+    got = run_fleet([data], fleet=fleet_cubic)[0][0]
+    # solo reference under a cubic default
+    monkeypatch.setattr(cfgmod.CONFIG, "default_interpolation", "cubic")
+    exp = solo_reference(data)
+    np.testing.assert_array_equal(got[: len(exp)], exp)
+    assert not np.array_equal(got[: len(exp)], linear[: len(exp)])
+
+
+def test_fleet_multichannel_device_dsp_close():
+    """mono=False + device_dsp: the f32 device twin keeps the channel axis
+    ("multi" out_mode) and stays within the documented f32 tolerance of the
+    host multichannel fleet."""
+    import jax
+
+    datas = [make_flac(48000, 6, channels=2, chan_asgn=8, seed=74),
+             make_flac(48000, 6, channels=2, chan_asgn=8, seed=75)]
+    host = run_fleet_mc(datas, FlacFleet(2, mono=False))
+    fleet = FlacFleet(2, device_restore=True, device_dsp=True, mono=False)
+    if jax.default_backend() != "tpu":
+        fleet._block_iir = "interpret"
+    dev = run_fleet_mc(datas, fleet)
+    for a, b in zip(host, dev):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=5e-3)

@@ -1,0 +1,224 @@
+"""One-facade Fleet (stream/fleet.py): mixed sources behind one dispatch
+surface (reference aukit.lua:2992-2996), VERDICT r3 item 3."""
+
+import math
+
+import numpy as np
+import pytest
+
+import aukit_tpu as ak
+from aukit_tpu.stream.batch import LaneSpec
+from aukit_tpu.stream.fleet import Fleet
+from tests import fixtures
+from tests.ref.codecs import dfpwm_decode_ref
+from tests.test_flac_fleet import make_flac, solo_reference
+
+RNG = np.random.default_rng(99)
+
+
+def fir_48k_f(dec):
+    """dsp_chain identity-rate reference for DFPWM engine lanes (f32)."""
+    s = np.asarray(dec, np.float64)
+    s = s / np.where(s < 0, 128.0, 127.0)
+    a = 1.0 - math.exp(-0.5 * 2 * math.pi)
+    prev = np.concatenate([[0.0], s[:-1]])
+    out = prev + a * (s - prev)
+    out = out * np.where(out < 0, 128.0, 127.0)
+    return np.clip(out, -128, 127).astype(np.int8)
+
+
+def dsp_ref_16(sig, rate):
+    from tests.test_batch import dsp_ref, norm16f
+
+    out, _ = dsp_ref(norm16f(np.asarray(sig, np.int64)), rate)
+    return out
+
+
+def collect(fleet):
+    outs = [[] for _ in fleet.stations]
+    guard = 0
+    while not fleet.done:
+        r = fleet.step()
+        guard += 1
+        assert guard < 10000
+        if r is None:
+            if fleet.done:
+                break
+            continue
+        w, m, _pos = r
+        for i in range(len(fleet.stations)):
+            if m[i]:
+                outs[i].append(w[i])
+    return [np.concatenate(o, axis=-1) if o else np.zeros(0, np.int8)
+            for o in outs]
+
+
+def make_mdfpwm(nblocks=3, extra=100):
+    """Valid MDFPWMv3 bytes: header + alternating 6000-byte L/R blocks."""
+    body = RNG.integers(0, 256, nblocks * 12000 + extra, dtype=np.uint8)
+    length = len(body) - (extra // 2)  # trim exercises the per-lane cap
+    hdr = b"MDFPWM\x03" + int(length).to_bytes(4, "little") \
+        + bytes([1]) + b"a" + bytes([1]) + b"t" + bytes([1]) + b"l"
+    return hdr + body.tobytes(), length
+
+
+def test_fleet_facade_mixed_sources():
+    """WAV(pcm16) + raw DFPWM + FLAC + QOA in ONE Fleet: every station's
+    int8 windows match its own reference chain."""
+    rate = 24000
+    sig = (np.sin(np.arange(rate) / 9.0) * 20000).astype(np.int16)
+    wav = ak.tone(440, 1.0, 0.5, "sine", sample_rate=rate).wav(16)
+    dfp = RNG.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+    flac = make_flac(44100, 6, seed=80)
+    qrate = 10240
+    qoa = fixtures.qoa_stream(RNG, 1, qrate, [5120, 5120]) + b"\x00" * 8
+
+    # raw DFPWM bytes are random (no 0x55/0xAA runs), so the station is
+    # declared explicitly — the reference's detect can't see them either
+    fleet = Fleet([wav, (LaneSpec("dfpwm", 48000), dfp), flac, qoa])
+    assert [st.kind for st in fleet.stations] == ["engine"] * 2 + ["flac", "engine"]
+    outs = collect(fleet)
+
+    # WAV station: the engine's pcm16 chain on the data chunk
+    from aukit_tpu.stream.batch_codecs import lane_spec_for_wav
+
+    spec, off, size = lane_spec_for_wav(wav)
+    body = np.frombuffer(wav[off: off + size], "<i2")
+    exp = dsp_ref_16(body, spec.sample_rate)
+    np.testing.assert_allclose(outs[0][: len(exp)].astype(np.int32), exp,
+                               atol=1)
+    # DFPWM station
+    exp_d = fir_48k_f(dfpwm_decode_ref(dfp))
+    np.testing.assert_array_equal(outs[1][: len(exp_d)], exp_d)
+    # FLAC station: solo stream.flac quantized with the truncating int8 cast
+    exp_f = np.clip(solo_reference(flac), -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(outs[2][: len(exp_f)], exp_f)
+    # QOA station produced real audio of the expected length
+    assert len(outs[3]) >= 2 * 5120 * 48000 // qrate - 48000
+    assert outs[3].any()
+
+
+def test_fleet_facade_mdfpwm_station_and_drip_invariance():
+    """An MDFPWM station merges its two DFPWM lanes (fixed-Q3 mixdown) and is
+    drip-size invariant (the de-interleave cursor handles partial pairs)."""
+    data, length = make_mdfpwm()
+    per = length // 2
+    whole = collect(Fleet([data]))
+
+    # reference: per-lane dsp windows, then floor((l+r)/2)
+    from aukit_tpu.containers.mdfpwm import parse_mdfpwm_header
+
+    hdr = parse_mdfpwm_header(data)[4]
+    body = data[hdr:]
+    nb = len(body) // 12000
+    pairs = np.frombuffer(body[: nb * 12000], np.uint8).reshape(nb, 2, 6000)
+    left = pairs[:, 0].reshape(-1).tobytes() + body[nb * 12000: nb * 12000 + 6000]
+    right = pairs[:, 1].reshape(-1).tobytes() + body[nb * 12000 + 6000:]
+    # the length trim leaves the lanes ragged (L carries the partial tail
+    # block). Engine semantics: a partial EOF tail zero-pads the INPUT bytes
+    # to the chunk size, so the pad bytes decode through the DFPWM decoder
+    # (decay, not silence); the exhausted R lane contributes zeros to the
+    # final window.
+    lbytes = left[:per]
+    lbytes += b"\x00" * ((-len(lbytes)) % 6000)
+    dl = fir_48k_f(dfpwm_decode_ref(lbytes)).astype(np.float64)
+    dr = fir_48k_f(dfpwm_decode_ref(right[:per])).astype(np.float64)
+    n4 = max(len(dl), len(dr))
+    dlp, drp = np.zeros(n4), np.zeros(n4)
+    dlp[: len(dl)], drp[: len(dr)] = dl, dr
+    exp = np.floor((dlp + drp) / 2).astype(np.int8)
+    got = whole[0]
+    assert len(got) == n4
+    np.testing.assert_array_equal(got, exp)
+
+    # drip-feed in awkward chunk sizes, crossing header and pair boundaries
+    fleet2 = Fleet([data[:50]], eof=False)
+    pos = 50
+    while pos < len(data):
+        fleet2.feed(0, data[pos: pos + 7013])
+        pos += 7013
+    fleet2.feed(0, None)
+    dripped = collect(fleet2)
+    np.testing.assert_array_equal(dripped[0], whole[0])
+
+    info = fleet2.station_info(0)
+    assert info["artist"] == "a" and info["title"] == "t"
+
+
+def test_fleet_facade_multichannel_windows():
+    """mono=False: stations emit [N, C, T] windows; the stereo FLAC station
+    carries distinct channels, mono stations replicate channel 0."""
+    flac = make_flac(44100, 6, channels=2, chan_asgn=10, seed=81)
+    dfp = RNG.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+    fleet = Fleet([flac, (LaneSpec("dfpwm", 48000), dfp)], mono=False,
+                  channels=2)
+    got = [[] for _ in range(2)]
+    while not fleet.done:
+        r = fleet.step()
+        if r is None:
+            if fleet.done:
+                break
+            continue
+        w, m, _ = r
+        assert w.ndim == 3 and w.shape[1] == 2
+        for i in range(2):
+            if m[i]:
+                got[i].append(w[i])
+    fl = np.concatenate(got[0], axis=-1)
+    from tests.test_flac_fleet import solo_reference_mc
+
+    exp = np.clip(solo_reference_mc(flac), -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(fl[:, : exp.shape[1]], exp)
+    assert not np.array_equal(exp[0], exp[1])  # genuinely stereo
+    df = np.concatenate(got[1], axis=-1)
+    np.testing.assert_array_equal(df[0], df[1])  # replicated channel 0
+
+
+def test_fleet_facade_checkpoint_roundtrip():
+    """Engine and FLAC station checkpoints restore into a fresh Fleet and
+    resume identically."""
+    flac = make_flac(48000, 8, seed=82)
+    dfp = RNG.integers(0, 256, 18000, dtype=np.uint8).tobytes()
+    dspec = LaneSpec("dfpwm", 48000)
+    full = collect(Fleet([(dspec, dfp), flac]))
+
+    fleet = Fleet([(dspec, dfp), flac], eof=False)
+    got = [[] for _ in range(2)]
+    for _ in range(2):
+        r = fleet.step()
+        if r is not None:
+            w, m, _ = r
+            for i in range(2):
+                if m[i]:
+                    got[i].append(w[i])
+    cks = [fleet.checkpoint(0), fleet.checkpoint(1)]
+    fleet2 = Fleet([(dspec, b""), flac[:4]], eof=False)
+    # fresh facade over the same station layout (4 magic bytes fix the FLAC
+    # kind; restore replaces lane state wholesale); restore + refeed tails
+    fleet2.restore(0, cks[0])
+    fleet2.restore(1, cks[1])
+    fleet2.feed(0, dfp[cks[0]["fed"]:])
+    fleet2.feed(0, None)
+    off = cks[1]["sub"]["byte_offset"] + len(cks[1]["sub"]["pending"])
+    fleet2.feed(1, flac[off:])
+    fleet2.feed(1, None)
+    rest = collect(fleet2)
+    for i in range(2):
+        parts = got[i] + ([rest[i]] if len(rest[i]) else [])
+        resumed = np.concatenate(parts, axis=-1)
+        np.testing.assert_array_equal(resumed, full[i])
+
+
+def test_fleet_facade_explicit_lanespec_and_errors():
+    """(LaneSpec, bytes) stations bypass detection; undetectable sources
+    raise; checkpoint kind mismatch raises."""
+    raw = (np.sin(np.arange(8000) / 5.0) * 100).astype(np.int8).tobytes()
+    fleet = Fleet([(LaneSpec("pcm8", 8000), raw)])
+    outs = collect(fleet)
+    assert len(outs[0]) >= 47000 and outs[0].any()
+    with pytest.raises(ValueError):
+        Fleet([RNG.integers(60, 200, 200, dtype=np.uint8).tobytes()])
+    flac = make_flac(48000, 2, seed=83)
+    f2 = Fleet([flac])
+    with pytest.raises(ValueError, match="kind"):
+        f2.restore(0, {"kind": "engine", "fed": 0, "sub": {}})
