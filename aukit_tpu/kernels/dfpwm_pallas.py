@@ -130,16 +130,26 @@ def dfpwm_decode_grouped(bytes_gm: jnp.ndarray, state_gm: jnp.ndarray, n_valid=N
     )(n_valid, bytes_gm, state_gm)
 
 
-def _decode_dsp_kernel(nvalid_ref, alpha_ref, bytes_ref, state_in_ref,
-                       mask_ref, out_ref, state_out_ref, st):
+def _decode_dsp_kernel(with_gain, nvalid_ref, alpha_ref, bytes_ref,
+                       state_in_ref, mask_ref, *rest):
     """Decode + fused DSP epilogue: normalize (/128|127), 1-tap smoothing
     ``prev + alpha*(cur - prev)`` (dsp_chain's identity-rate form,
-    parallel/pipeline.py), int8 scale/clamp, and the per-lane ready mask —
-    all on the VMEM tile, so the f32 stream never touches HBM and masked
-    lanes emit zeros without a separate select pass. The smoothing carry
-    needs no extra state: the previous raw sample IS the lowpass field
-    (st[4]). State advances regardless of the mask — the engine restores
-    masked lanes' state outside (cheap [G,5,32,128] selects)."""
+    parallel/pipeline.py), optional per-lane volume ``g0 + slope*sample``
+    (the batched analog of speaker.playAudio's volume, aukit.lua:1935;
+    slope 0 is a constant gain), int8 scale/clamp, and the per-lane ready
+    mask — all on the VMEM tile, so the f32 stream never touches HBM and
+    masked lanes emit zeros without a separate select pass. ``with_gain``
+    is a TRACE-TIME flag: ungained fleets compile the epilogue WITHOUT the
+    gain input or its per-sample fma, so the default path costs exactly
+    what it did before volume existed. The smoothing carry needs no extra
+    state: the previous raw sample IS the lowpass field (st[4]). State
+    advances regardless of the mask — the engine restores masked lanes'
+    state outside (cheap [G,5,32,128] selects)."""
+    if with_gain:
+        gain_ref, out_ref, state_out_ref, st = rest
+    else:
+        gain_ref = None
+        out_ref, state_out_ref, st = rest
     t = pl.program_id(1)
     nvalid = nvalid_ref[0]
     alpha = alpha_ref[0]
@@ -166,10 +176,16 @@ def _decode_dsp_kernel(nvalid_ref, alpha_ref, bytes_ref, state_in_ref,
             lp = jnp.where(valid, nlp, lp)
         prevf = norm(carry[4])  # raw sample before this iteration's 16
         live = mask_ref[0, 0] != 0
+        if with_gain:
+            g0 = gain_ref[0, 0]
+            gslope = gain_ref[0, 1]
+            base = ((t * TIME_TILE + i * UNROLL) * 8).astype(jnp.float32)
         outs = []
-        for r in rows:
+        for j, r in enumerate(rows):
             f = norm(r)
             o = prevf + alpha * (f - prevf)
+            if with_gain:
+                o = o * (g0 + gslope * (base + float(j)))
             o = o * jnp.where(o < 0, 128.0, 127.0)
             q8 = jnp.clip(o, -128.0, 127.0).astype(jnp.int8)
             outs.append(jnp.where(live, q8, 0))
@@ -183,17 +199,19 @@ def _decode_dsp_kernel(nvalid_ref, alpha_ref, bytes_ref, state_in_ref,
     state_out_ref[0] = jnp.stack([q, s, lb, pq, lp])
 
 
-@functools.partial(jax.jit, static_argnums=(2, 5))
+@functools.partial(jax.jit, static_argnums=(2, 6))
 def dfpwm_decode_dsp_grouped(bytes_gm: jnp.ndarray, state_gm: jnp.ndarray,
                              alpha: float, n_valid=None, mask_gm=None,
-                             interpret: bool = False):
+                             gain_gm=None, interpret: bool = False):
     """Native-layout decode with the fused identity-rate DSP epilogue
     (see _decode_dsp_kernel). Same shapes as dfpwm_decode_grouped; the
     int8 output is the SMOOTHED, int8-scaled stream (the engine's
     dsp_chain contract at in_rate == out_rate) rather than raw samples,
     zeroed on lanes whose ``mask_gm`` (int32[G, 1, 32, 128], default all
-    live) entry is 0. The smoothing carry is implicit in the lowpass
-    state."""
+    live) entry is 0, and scaled by the per-lane volume ramp ``gain_gm``
+    (f32[G, 2, 32, 128]: [gain0, slope-per-sample]; None compiles the
+    epilogue WITHOUT the gain input — zero cost on the default path). The
+    smoothing carry is implicit in the lowpass state."""
     G, B = bytes_gm.shape[0], bytes_gm.shape[1]
     if n_valid is None:
         n_valid = jnp.full((1,), B, jnp.int32)
@@ -201,16 +219,22 @@ def dfpwm_decode_dsp_grouped(bytes_gm: jnp.ndarray, state_gm: jnp.ndarray,
         mask_gm = jnp.ones((G, 1, SUB, LANE), jnp.int32)
     alpha_arr = jnp.full((1,), np.float32(alpha), jnp.float32)
     nt = B // TIME_TILE
+    with_gain = gain_gm is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, TIME_TILE, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 5, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [n_valid, alpha_arr, bytes_gm, state_gm, mask_gm]
+    if with_gain:
+        in_specs.append(pl.BlockSpec((1, 2, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM))
+        args.append(gain_gm)
     return pl.pallas_call(
-        _decode_dsp_kernel,
+        functools.partial(_decode_dsp_kernel, with_gain),
         grid=(G, nt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, TIME_TILE, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 5, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, TIME_TILE * 8, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 5, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -224,7 +248,7 @@ def dfpwm_decode_dsp_grouped(bytes_gm: jnp.ndarray, state_gm: jnp.ndarray,
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(n_valid, alpha_arr, bytes_gm, state_gm, mask_gm)
+    )(*args)
 
 
 def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref, st):
@@ -364,24 +388,34 @@ def dfpwm_decode_pallas(bytes_u8, state: DfpwmState | None = None, interpret: bo
 
 
 def dfpwm_decode_dsp_pallas(bytes_u8, state: DfpwmState | None = None,
-                            alpha: float = 0.0, mask=None,
+                            alpha: float = 0.0, mask=None, gain=None,
                             interpret: bool = False):
     """Convenience wrapper for the fused decode+DSP kernel: uint8[L, B] ->
     (int8[L, B*8] smoothed/int8-scaled samples, state). ``mask``: optional
-    bool[L] per-lane liveness — masked lanes emit zeros in-kernel."""
+    bool[L] per-lane liveness — masked lanes emit zeros in-kernel.
+    ``gain``: optional (gain0 f32[L], slope_per_sample f32[L]) volume ramp
+    applied in-kernel (see _decode_dsp_kernel)."""
     bytes_u8 = jnp.asarray(bytes_u8, jnp.uint8)
     L, B = bytes_u8.shape
     if state is None:
         state = DfpwmState.zeros(L)
     gm, _ = lanes_to_groups(bytes_u8, TIME_TILE)
     sg = state_to_groups(state, 5)
+    Lp = -(-L // GROUP) * GROUP
     mg = None
     if mask is not None:
-        Lp = -(-L // GROUP) * GROUP
         mg = jnp.pad(jnp.asarray(mask, jnp.int32), (0, Lp - L)).reshape(
             Lp // GROUP, 1, SUB, LANE)
+    gg = None
+    if gain is not None:
+        g0, gs = gain
+        g0 = jnp.pad(jnp.asarray(g0, jnp.float32), (0, Lp - L),
+                     constant_values=1.0).reshape(Lp // GROUP, SUB, LANE)
+        gs = jnp.pad(jnp.asarray(gs, jnp.float32), (0, Lp - L)).reshape(
+            Lp // GROUP, SUB, LANE)
+        gg = jnp.stack([g0, gs], axis=1)
     out_gm, state_gm = dfpwm_decode_dsp_grouped(
-        gm, sg, float(alpha), jnp.full((1,), B, jnp.int32), mg, interpret)
+        gm, sg, float(alpha), jnp.full((1,), B, jnp.int32), mg, gg, interpret)
     out = groups_to_lanes(out_gm, L, B * 8)
     return out, state_from_groups(state_gm, L)
 

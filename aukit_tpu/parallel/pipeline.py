@@ -47,31 +47,79 @@ def fir_alpha(in_rate: int, out_rate: int) -> float:
     return float(1.0 - np.exp(-(in_rate / (out_rate * 2)) * 2.0 * np.pi))
 
 
-def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000, fir_state=None):
-    """float[..., T] @in_rate -> int8[..., T_out] @out_rate: linear resample +
-    FIR smoothing (alpha per aukit.lua:2365) + int8 scale/clamp.
+def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000,
+              fir_state=None, mode: str = "linear", gain=None):
+    """float[..., T] @in_rate -> int8[..., T_out] @out_rate: resample
+    (none/linear/cubic/sinc, reference interpolator surface
+    aukit.lua:253-284) + FIR smoothing (alpha per aukit.lua:2365) + int8
+    scale/clamp.
 
     ``fir_state``: optional float[...] previous raw sample carried across
     chunks; when given, returns (out, new_fir_state).
 
-    Boundary semantics: the FIR state carries across chunks, but the linear
-    interpolation window clamps at each chunk's last input sample (p2 edge
-    clamp) instead of deferring boundary outputs to the next chunk the way
-    the single-stream ChunkResampler does — a deliberate fixed-shape
-    simplification (affects ~ratio samples per chunk by < 1 interpolation
-    step; exact for identity rates)."""
+    ``gain``: optional (gain0, slope_per_sample) per-lane volume ramp
+    (each shaped to broadcast against ``out[..., None]`` dims): the smoothed
+    stream is scaled by ``gain0 + slope * t`` before the int8 quantize —
+    the batched analog of speaker.playAudio's volume (aukit.lua:1935);
+    gain 1 / slope 0 multiplies by exactly 1.0 (bit-identical). The fused
+    Pallas epilogue (kernels/dfpwm_pallas.py::_decode_dsp_kernel) computes
+    the SAME expression per sample.
+
+    Boundary semantics: the FIR state carries across chunks, but the
+    interpolation window clamps at each chunk's edges (missing taps fall
+    back toward p1, the Lua `or`-chain) instead of deferring boundary
+    outputs to the next chunk the way the single-stream ChunkResampler
+    does — a deliberate fixed-shape simplification (affects ~ratio samples
+    per chunk by < 1 interpolation step; exact for identity rates, where
+    every mode passes p1 through)."""
     n_in = samples_f32.shape[-1]
     if in_rate == out_rate:
-        s = samples_f32  # identity: p1 + (p2-p1)*0 == p1 bit-for-bit
+        s = samples_f32  # identity: every mode passes p1 through at exact x
     else:
         n_out, ffx, frac = _resample_tables(n_in, in_rate, out_rate)
-        p1 = jnp.take(samples_f32, jnp.asarray(ffx), axis=-1)
-        p2 = jnp.take(samples_f32, jnp.asarray(np.minimum(ffx + 1, n_in - 1)), axis=-1)
-        s = p1 + (p2 - p1) * jnp.asarray(frac)
+        exact = frac == 0.0
+        take = lambda i: jnp.take(samples_f32, jnp.asarray(np.clip(i, 0, n_in - 1)), axis=-1)  # noqa: E731
+        p1 = take(ffx)
+        fr = jnp.asarray(frac)
+        if mode == "none":
+            s = p1
+        elif mode == "linear":
+            p2 = take(np.minimum(ffx + 1, n_in - 1))
+            s = p1 + (p2 - p1) * fr
+        elif mode == "cubic":
+            p0 = take(np.where(ffx - 1 >= 0, ffx - 1, ffx))
+            i2 = np.where(ffx + 1 <= n_in - 1, ffx + 1, ffx)
+            p2 = take(i2)
+            p3 = take(np.where(ffx + 2 <= n_in - 1, ffx + 2, i2))
+            val = ((-0.5 * p0 + 1.5 * p1 - 1.5 * p2 + 0.5 * p3) * fr**3
+                   + (p0 - 2.5 * p1 + 2.0 * p2 - 0.5 * p3) * fr**2
+                   + (-0.5 * p0 + 0.5 * p2) * fr + p1)
+            s = jnp.where(jnp.asarray(exact), p1, val)
+        elif mode == "sinc":
+            from ..config import CONFIG
+            from ..ops.resample import sinc_weights
+
+            W = CONFIG.sinc_window_size
+            w = sinc_weights(frac.astype(np.float64), W).astype(np.float32)
+            acc = jnp.zeros_like(p1)
+            for t in range(2 * W + 1):
+                idx = ffx + (t - W)
+                valid = (idx >= 0) & (idx <= n_in - 1)
+                wt = np.asarray(w[:, t] * valid, np.float32)
+                if not wt.any():
+                    continue
+                acc = acc + take(idx) * jnp.asarray(wt)
+            s = jnp.where(jnp.asarray(exact), p1, acc)
+        else:
+            raise ValueError(f"invalid interpolation mode {mode!r}")
     alpha = jnp.float32(fir_alpha(in_rate, out_rate))
     first = jnp.zeros_like(s[..., :1]) if fir_state is None else fir_state[..., None]
     prev = jnp.concatenate([first, s[..., :-1]], axis=-1)
     out = prev + alpha * (s - prev)
+    if gain is not None:
+        g0, gslope = gain
+        t = jnp.arange(out.shape[-1], dtype=jnp.float32)
+        out = out * (g0[..., None] + gslope[..., None] * t)
     out = out * jnp.where(out < 0, 128.0, 127.0)
     out = jnp.clip(out, -128, 127).astype(jnp.int8)
     if fir_state is None:

@@ -277,12 +277,13 @@ class _Group:
     """Lanes sharing one LaneSpec: fused device step + staging + output FIFO."""
 
     def __init__(self, spec: LaneSpec, slots: np.ndarray, mesh, use_pallas,
-                 out_rate: int, mono: bool = True):
+                 out_rate: int, mono: bool = True, mode: str = "linear"):
         self.spec = spec
         self.slots = slots  # external lane ids, in engine order
         self.lanes = len(slots)
         self.mesh = mesh
         self.mono = mono
+        self.mode = mode  # resample interpolation (dsp_chain, all 4 modes)
         self.out_ch = 1 if mono else spec.channels
         # in_samples counts per-channel frames, so out_samples holds for both
         # the mono [L, T] and the per-channel [L, C, T] output contract
@@ -310,6 +311,12 @@ class _Group:
         self.dlanes = self.lanes + self.pad
         self.fir = (jnp.zeros(self.dlanes, jnp.float32) if mono
                     else jnp.zeros((self.dlanes, self.out_ch), jnp.float32))
+        # per-lane volume (aukit.lua:1935 analog): gain ramps linearly from
+        # gain0 to gain1 across each lane's next chunk (click-free volume
+        # moves, the batched effects.fade analog); gain0 == gain1 == 1 is
+        # bit-exactly the ungained stream (x * 1.0 in f32)
+        self.gain0 = np.ones(self.dlanes, np.float32)
+        self.gain1 = np.ones(self.dlanes, np.float32)
         state = init_state(spec, self.dlanes)
         self._state_leaves, self._state_def = jax.tree_util.tree_flatten(state)
         self.samples_in = np.zeros(self.lanes, np.int64)  # input samples consumed
@@ -322,9 +329,15 @@ class _Group:
         if mesh is not None:
             P = jax.sharding.PartitionSpec
             self._sharding = jax.sharding.NamedSharding(mesh, P(tuple(mesh.axis_names), None))
-        self._step_fn = self._build_step(out_rate)
+        self._out_rate = out_rate
+        # two step variants, built lazily: the ungained one compiles WITHOUT
+        # the volume inputs/fma (the default path costs exactly what it did
+        # before volume existed); the gained one engages when any lane's
+        # volume differs from 1
+        self._step_fns: dict[bool, object] = {}
+        self._step_fns[False] = self._build_step(out_rate, False)
 
-    def _build_step(self, out_rate: int):
+    def _build_step(self, out_rate: int, with_gain: bool):
         decode, self.stateful = build_decoder(self.spec, self.use_pallas,
                                               self.mono)
         in_rate = self.spec.sample_rate
@@ -346,11 +359,16 @@ class _Group:
 
             mono = self.mono
 
-            def step(bytes_u8, mask2d, fir, *state_leaves):
+            def step(bytes_u8, mask2d, fir, *rest):
+                if with_gain:
+                    g0, gs, *state_leaves = rest
+                    gain = (g0, gs)
+                else:
+                    state_leaves, gain = rest, None
                 state = jax.tree_util.tree_unflatten(state_def, state_leaves)
                 mask1 = mask2d[:, 0]
                 out, new_state = dfpwm_decode_dsp_pallas(
-                    bytes_u8, state, alpha, mask=mask1)
+                    bytes_u8, state, alpha, mask=mask1, gain=gain)
                 lpf = new_state.lowpass.astype(jnp.float32)
                 new_fir = lpf / jnp.where(new_state.lowpass < 0, 128.0, 127.0)
                 if not mono:  # per-channel contract: DFPWM lanes are C == 1
@@ -364,14 +382,21 @@ class _Group:
                 ]
                 return (out, new_fir, *new_leaves)
 
-            return self._wrap_step(step)
+            return self._wrap_step(step, with_gain)
 
         mono = self.mono
+        mode = self.mode
 
-        def step(bytes_u8, mask2d, fir, *state_leaves):
+        def step(bytes_u8, mask2d, fir, *rest):
+            if with_gain:
+                g0, gs, *state_leaves = rest
+                gain = (g0, gs) if mono else (g0[:, None], gs[:, None])
+            else:
+                state_leaves, gain = rest, None
             state = jax.tree_util.tree_unflatten(state_def, state_leaves)
             f, new_state = decode(bytes_u8, state)  # [L, T] or [L, C, T]
-            out, new_fir = dsp_chain(f, in_rate, out_rate, fir_state=fir)
+            out, new_fir = dsp_chain(f, in_rate, out_rate, fir_state=fir,
+                                     mode=mode, gain=gain)
             mask1 = mask2d[:, 0]
             if mono:
                 out = jnp.where(mask2d, out, 0)
@@ -385,9 +410,9 @@ class _Group:
             ]
             return (out, new_fir, *new_leaves)
 
-        return self._wrap_step(step)
+        return self._wrap_step(step, with_gain)
 
-    def _wrap_step(self, step):
+    def _wrap_step(self, step, with_gain: bool):
         """jit the group step; under a mesh, run it inside ``jax.shard_map``
         over the lane axis. Lanes are embarrassingly parallel (decode kernels,
         DSP and masking are all lane-elementwise), so each device executes the
@@ -402,11 +427,12 @@ class _Group:
         lane1, lane2, lane3 = P(axes), P(axes, None), P(axes, None, None)
         nstate = len(self._state_leaves)
         out_spec, fir_spec = (lane2, lane1) if self.mono else (lane3, lane2)
+        gain_specs = (lane1, lane1) if with_gain else ()
         # check_vma=False: pallas_call outputs carry no varying-mesh-axes
         # metadata, and the steps are collective-free by construction
         return jax.jit(jax.shard_map(
             step, mesh=self.mesh,
-            in_specs=(lane2, lane2, fir_spec) + (lane1,) * nstate,
+            in_specs=(lane2, lane2, fir_spec) + gain_specs + (lane1,) * nstate,
             out_specs=(out_spec, fir_spec) + (lane1,) * nstate,
             check_vma=False,
         ))
@@ -427,7 +453,23 @@ class _Group:
         dev = jnp.asarray(staged)
         if self._sharding is not None:
             dev = jax.device_put(dev, self._sharding)
-        out, fir, *state = self._step_fn(dev, jnp.asarray(ready_dev[:, None]), self.fir, *self._state_leaves)
+        with_gain = bool((self.gain0 != 1.0).any() or (self.gain1 != 1.0).any())
+        fn = self._step_fns.get(with_gain)
+        if fn is None:
+            fn = self._step_fns[with_gain] = self._build_step(
+                self._out_rate, with_gain)
+        if with_gain:
+            # volume ramp: slope per OUTPUT sample across this chunk's
+            # nominal window; once a lane decodes, its ramp completes
+            gs = (self.gain1 - self.gain0) / np.float32(self.out_samples)
+            out, fir, *state = fn(
+                dev, jnp.asarray(ready_dev[:, None]), self.fir,
+                jnp.asarray(self.gain0), jnp.asarray(gs), *self._state_leaves)
+            self.gain0[: self.lanes] = np.where(
+                ready, self.gain1[: self.lanes], self.gain0[: self.lanes])
+        else:
+            out, fir, *state = fn(dev, jnp.asarray(ready_dev[:, None]),
+                                  self.fir, *self._state_leaves)
         self.fir = fir
         self._state_leaves = state
         self.samples_in += np.where(ready, (consumed * self.in_samples) // self.in_bytes, 0)
@@ -492,6 +534,9 @@ class BatchStreamEngine:
         heterogeneous fleets (homogeneous engines emit raw decode chunks,
         the flagship bench path); True forces the windowed contract even for
         a single group (the Fleet facade's uniform output)
+    interpolation : per-engine resample mode override (none/linear/cubic/
+        sinc, reference aukit.lua:253-284); None reads
+        CONFIG.default_interpolation at construction
     """
 
     def __init__(
@@ -501,6 +546,7 @@ class BatchStreamEngine:
         use_pallas: bool | None = None,
         mono: bool = True,
         windowed: bool | None = None,
+        interpolation: str | None = None,
     ):
         specs = list(specs)
         if not specs:
@@ -518,9 +564,13 @@ class BatchStreamEngine:
             for s in by_spec:
                 if s.chunk_bytes:
                     raise ValueError("chunk_bytes overrides require a homogeneous engine")
+        from ..config import get_interpolation
+
+        mode = get_interpolation(interpolation)
+        self.interpolation = mode
         self.groups = [
             _Group(s, np.array(slots), mesh, use_pallas, CONFIG.output_rate,
-                   mono=mono)
+                   mono=mono, mode=mode)
             for s, slots in by_spec.items()
         ]
         self._lane_map: list[tuple[int, int]] = [None] * self.lanes  # lane -> (gi, slot)
@@ -547,6 +597,24 @@ class BatchStreamEngine:
     def feed_many(self, datas: Sequence[bytes | None]):
         for lane, d in enumerate(datas):
             self.feed(lane, d)
+
+    def set_volume(self, lane: int, volume: float, ramp: bool = False):
+        """Per-lane playback volume (the batched analog of
+        ``speaker.playAudio(chunk, volume)``, aukit.lua:1935): the smoothed
+        float stream scales by ``volume`` before the int8 quantize — inside
+        the fused Pallas epilogue on the kernel route. With ``ramp=True``
+        the gain moves linearly from its current value to ``volume`` across
+        the lane's next chunk (click-free, the batched effects.fade
+        analog)."""
+        gi, slot = self._lane_map[lane]
+        g = self.groups[gi]
+        if not ramp:
+            g.gain0[slot] = volume
+        g.gain1[slot] = volume
+
+    def get_volume(self, lane: int) -> float:
+        gi, slot = self._lane_map[lane]
+        return float(self.groups[gi].gain1[slot])
 
     def feed_array(self, arr, eof: bool = True):
         """Bulk ingestion: ``uint8[L, B]`` rows in engine lane order. Bulk-fed
@@ -682,6 +750,7 @@ class BatchStreamEngine:
             "codec_state": codec_state,
             # mono: scalar float (round-1 format); mono=False: f32[C] row
             "fir_state": float(fir) if fir.ndim == 0 else fir.copy(),
+            "volume": (float(g.gain0[slot]), float(g.gain1[slot])),
         }
 
     def restore(self, lane: int, ckpt: dict):
@@ -700,6 +769,7 @@ class BatchStreamEngine:
         fir = np.asarray(g.fir).copy()
         fir[slot] = ckpt.get("fir_state", 0.0)
         g.fir = jnp.asarray(fir)
+        g.gain0[slot], g.gain1[slot] = ckpt.get("volume", (1.0, 1.0))
 
     def reset_lane(self, lane: int):
         """Reuse a finished lane for a new stream."""

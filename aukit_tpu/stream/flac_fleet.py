@@ -79,34 +79,71 @@ def _fit_channels(arr: np.ndarray, cap: int) -> np.ndarray:
         [arr, np.broadcast_to(arr[:1], (cap - C, arr.shape[1]))])
 
 
-@functools.lru_cache(maxsize=128)
-def _device_resample_fn(n: int, in_rate: int, out_rate: int, mode: str, window: int):
-    """Jitted f32 twin of the per-block lua_block_resample ("none"/"linear"):
-    ext f32[P, C, n+2] -> f32[P, C, out_len]. Static plan tables baked in."""
-    import jax
+def _block_interp_device(ext, n: int, H: int, out_len, ffx0, frac, exact,
+                         mode: str, w):
+    """Traced core shared by the fleet's device resample twins: replicate
+    ``lua_block_resample``'s edge-fallback semantics (aukit.lua:253-284) over
+    ``ext[..., H + n]`` (H history columns, hist_valid == H so lo == 0) with
+    STATIC index/weight tables — all four interpolation modes. f32."""
     import jax.numpy as jnp
 
-    out_len, ffx0, frac, exact, _w = block_resample_plan(n, in_rate, out_rate, mode, window)
+    hi = H + n - 1
+    ffx = ffx0 + H
+    fracj = jnp.asarray(frac.astype(np.float32))
+    exactj = jnp.asarray(exact)
+
+    def take(idx):
+        return jnp.take(ext, jnp.asarray(np.clip(idx, 0, hi)), axis=-1)
+
+    if mode == "none":
+        return take(ffx)
+    p1 = take(ffx)
+    if mode == "linear":
+        p2 = take(np.where(ffx + 1 <= hi, ffx + 1, ffx))
+        return jnp.where(exactj, p1, p1 + (p2 - p1) * fracj)
+    if mode == "cubic":
+        p0 = take(np.where(ffx - 1 >= 0, ffx - 1, ffx))
+        i2 = np.where(ffx + 1 <= hi, ffx + 1, ffx)
+        p2 = take(i2)
+        p3 = take(np.where(ffx + 2 <= hi, ffx + 2, i2))
+        val = ((-0.5 * p0 + 1.5 * p1 - 1.5 * p2 + 0.5 * p3) * fracj**3
+               + (p0 - 2.5 * p1 + 2.0 * p2 - 0.5 * p3) * fracj**2
+               + (-0.5 * p0 + 0.5 * p2) * fracj + p1)
+        return jnp.where(exactj, p1, val)
+    # sinc: static per-output weight rows; taps outside [0, hi] drop via the
+    # static valid mask (host path: take() clips + weight zeroing)
+    W = (w.shape[1] - 1) // 2
+    acc = jnp.zeros_like(p1)
+    for t in range(2 * W + 1):
+        idx = ffx + (t - W)
+        valid = (idx >= 0) & (idx <= hi)
+        wt = np.asarray(w[:, t] * valid, np.float32)
+        if not wt.any():
+            continue
+        acc = acc + take(idx) * jnp.asarray(wt)
+    return jnp.where(exactj, p1, acc)
+
+
+@functools.lru_cache(maxsize=128)
+def _device_resample_fn(n: int, in_rate: int, out_rate: int, mode: str, window: int):
+    """Jitted f32 twin of the per-block lua_block_resample (all 4 modes):
+    ext f32[P, C, n+2] -> f32[P, C, out_len]. Static plan tables baked in."""
+    import jax
+
+    out_len, ffx0, frac, exact, w = block_resample_plan(n, in_rate, out_rate, mode, window)
     if out_len == n and exact.all() and (ffx0 == np.arange(n)).all():
-        # identity rate: every output is an exact passthrough of ext[i+2]
-        # (p1 + (p2-p1)*0 == p1 bit-for-bit) — a pure slice, no gather
+        # identity rate: every mode passes p1 through at exact x
+        # (where(exact, p1, ...) — aukit.lua:2397) — a pure slice, no gather
         @jax.jit
         def fn(ext):
             return ext[..., 2:2 + out_len]
 
         return fn, out_len
-    ffx = jnp.asarray(ffx0 + 2)
-    fracj = jnp.asarray(frac.astype(np.float32))
-    exactj = jnp.asarray(exact)
 
     @jax.jit
     def fn(ext):
-        hi = ext.shape[-1] - 1
-        p1 = jnp.take(ext, jnp.clip(ffx, 0, hi), axis=-1)
-        if mode == "none":
-            return p1
-        p2 = jnp.take(ext, jnp.minimum(ffx + 1, hi), axis=-1)
-        return jnp.where(exactj, p1, p1 + (p2 - p1) * fracj)
+        return _block_interp_device(ext, n, 2, out_len, ffx0, frac, exact,
+                                    mode, w)
 
     return fn, out_len
 
@@ -114,22 +151,29 @@ def _device_resample_fn(n: int, in_rate: int, out_rate: int, mode: str, window: 
 @functools.lru_cache(maxsize=64)
 def _device_decode_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
                       n: int, rate: int, out_rate: int, mode: str,
-                      window: int, interpret: bool):
+                      window: int, interpret: bool, mesh=None):
     """Jitted device-resident decode chain for ONE uniform geometry:
     scattered residuals int32[Sp, n] -> Pallas LPC restore -> wasted-bits
     shift -> stereo decorrelation butterflies -> sign wrap -> f32 normalize
-    (*2^-depth, exact) -> history-free per-block resample ("none"/"linear"
-    never index the 2 history columns: ffx0 >= 0 and the p2 edge clamp hits
-    the block's own last sample) -> (res f32[F, C, out_len],
-    tail f32[F, C, <=2] raw dec tails for the host-side history mirror).
-    Composes with _device_block_iir_scale_fn: the decoded stream never
-    visits the host between parse and the final windows."""
+    (*2^-depth, exact) -> per-block resample (all 4 modes; "none"/"linear"
+    never index the 2 history columns, cubic/sinc gather each frame's
+    history from the PREVIOUS frame's tail on device, first frames from the
+    host-carried ``tails0``) -> (res f32[F, C, out_len], tail f32[F, C, <=2]
+    raw dec tails for the host-side history mirror). Composes with
+    _device_block_iir_scale_fn: the decoded stream never visits the host
+    between parse and the final windows.
+
+    With a ``mesh``, the Pallas restore runs under shard_map over the
+    subframe rows (row-local, zero collectives — the lpc_restore_sharded
+    pattern); everything else stays global-view jit, so GSPMD shards the
+    elementwise chain and inserts the few gathers' collectives itself.
+    Callers must pad ``Sp`` to a device-count multiple."""
     import jax
     import jax.numpy as jnp
 
     from ..kernels.flac_pallas import lpc_restore_pallas
 
-    out_len, ffx0, frac, exact, _w = block_resample_plan(
+    out_len, ffx0, frac, exact, w = block_resample_plan(
         n, rate, out_rate, mode, window)
     identity = bool(out_len == n and exact.all()
                     and (ffx0 == np.arange(n)).all())
@@ -141,10 +185,23 @@ def _device_decode_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
     scale = np.float32(1.0) / np.float32(1 << depth)  # /2^depth, exact
 
     @jax.jit
-    def fn(vals, orders, shifts, blocks, coefs, wasted):
-        restored = lpc_restore_pallas(
-            vals, orders, shifts, blocks, coefs, interpret, K)  # [Sp, n] i32
-        restored = restored << wasted[:, None]
+    def fn(vals, orders, shifts, blocks, coefs, wasted, first, prev_idx,
+           tails0):
+        if mesh is None:
+            restored = lpc_restore_pallas(
+                vals, orders, shifts, blocks, coefs, interpret, K)
+        else:
+            P = jax.sharding.PartitionSpec
+            axes = tuple(mesh.axis_names)
+            restored = jax.shard_map(
+                lambda v, o, s, b, c: lpc_restore_pallas(
+                    v, o, s, b, c, interpret, K),
+                mesh=mesh,
+                in_specs=(P(axes, None), P(axes), P(axes), P(axes),
+                          P(axes, None)),
+                out_specs=P(axes, None), check_vma=False,
+            )(vals, orders, shifts, blocks, coefs)
+        restored = restored << wasted[:, None]  # [Sp, n] i32
         F = vals.shape[0] // nsubs
         rows = restored.reshape(F, nsubs, n)
         if chan_asgn <= 7:
@@ -167,10 +224,16 @@ def _device_decode_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
             res = dec
         elif mode == "none":
             res = jnp.take(dec, jnp.clip(ffx, 0, n - 1), axis=-1)
-        else:
+        elif mode == "linear":
             p1 = jnp.take(dec, jnp.clip(ffx, 0, n - 1), axis=-1)
             p2 = jnp.take(dec, jnp.minimum(ffx + 1, n - 1), axis=-1)
             res = jnp.where(exactj, p1, p1 + (p2 - p1) * fracj)
+        else:  # cubic / sinc: 2-column history from the previous frame
+            hist = jnp.where(first[:, None, None], tails0,
+                             jnp.take(dec, prev_idx, axis=0)[..., n - 2:])
+            ext = jnp.concatenate([hist, dec], axis=-1)
+            res = _block_interp_device(ext, n, 2, out_len, ffx0, frac,
+                                       exact, mode, w)
         return res, dec[..., n - 2:]  # caller guards n >= 2
 
     return fn, out_len
@@ -178,7 +241,7 @@ def _device_decode_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
 
 @functools.lru_cache(maxsize=128)
 def _device_block_iir_scale_fn(out_len: int, alpha: float, out_mode: str,
-                               interpret: bool):
+                               interpret: bool, mesh=None):
     """Block-parallel twin of ``_device_iir_scale_fn``: the 1-pole lowpass
     runs as ONE Pallas pass over every (lane, block, channel) with zero
     initial state (kernels/iir_pallas.py — HBM once in/once out, vs log2(T)
@@ -206,12 +269,26 @@ def _device_block_iir_scale_fn(out_len: int, alpha: float, out_mode: str,
     else:  # c^out_len underflowed: the chain is a pure shift
         chain = lambda s, f: (f, s)  # noqa: E731
 
+    def iir0(rows):
+        """Zero-state block IIR over shard-local rows [R, out_len] — the
+        Pallas segment; row-local, so a mesh shards it with zero
+        collectives (shard_map below)."""
+        gm, _dims = lanes_to_groups(rows, TIME_TILE)
+        return groups_to_lanes(iir_zero_grouped(gm, float(alpha), interpret),
+                               rows.shape[0], out_len)
+
     @functools.partial(jax.jit, donate_argnums=())
-    def fn(res, idx, tvalid, state):
+    def fn(res, idx, tvalid, state, gain):
         Pb, C, _ = res.shape
-        gm, _dims = lanes_to_groups(res.reshape(Pb * C, out_len), TIME_TILE)
-        y0 = groups_to_lanes(iir_zero_grouped(gm, float(alpha), interpret),
-                             Pb * C, out_len).reshape(Pb, C, out_len)
+        rows = res.reshape(Pb * C, out_len)
+        if mesh is None:
+            y0 = iir0(rows)
+        else:  # callers pad Pb to a device-count multiple
+            P = jax.sharding.PartitionSpec
+            axes = tuple(mesh.axis_names)
+            y0 = jax.shard_map(iir0, mesh=mesh, in_specs=P(axes, None),
+                               out_specs=P(axes, None), check_vma=False)(rows)
+        y0 = y0.reshape(Pb, C, out_len)
         fin0 = y0[..., -1]  # [Pb, C]
         yb = jnp.take(y0, idx, axis=0)  # [Lb, m, C, out_len]
         fb = jnp.take(fin0, idx, axis=0)  # [Lb, m, C]
@@ -222,6 +299,7 @@ def _device_block_iir_scale_fn(out_len: int, alpha: float, out_mode: str,
         T = x2.shape[-1]
         i2 = jnp.clip(tvalid - 1, 0, T - 1)
         new_state = jnp.take_along_axis(x2, i2[:, None, None], axis=-1)[..., 0]
+        x2 = x2 * gain[:, None, None]  # volume AFTER the state read
         scaled = jnp.clip(x2 * jnp.where(x2 < 0, 128.0, 127.0), -128.0, 127.0)
         if out_mode == "mix":
             scaled = scaled.mean(axis=1)
@@ -246,7 +324,7 @@ def _device_iir_scale_fn(T: int, alpha: float, out_mode: str):
     a = np.float32(alpha)
 
     @jax.jit
-    def fn(x, state, tvalid):
+    def fn(x, state, tvalid, gain):
         y = x * a
         y = y.at[..., 0].add(c * state)
         ck = c
@@ -259,6 +337,7 @@ def _device_iir_scale_fn(T: int, alpha: float, out_mode: str):
             shift *= 2
         idx = jnp.clip(tvalid - 1, 0, T - 1)
         new_state = jnp.take_along_axis(y, idx[:, None, None], axis=-1)[..., 0]
+        y = y * gain[:, None, None]  # volume AFTER the state read
         scaled = jnp.clip(y * jnp.where(y < 0, 128.0, 127.0), -128.0, 127.0)
         if out_mode == "mix":
             scaled = scaled.mean(axis=1)
@@ -274,7 +353,7 @@ class _Lane:
     __slots__ = (
         "buf", "eof", "dirty", "ended", "error", "consumed", "pos",
         "rate", "channels", "depth", "num_samples", "meta", "alpha",
-        "last", "ls", "fifo", "fill", "samples_out", "stalled_at",
+        "last", "ls", "fifo", "fill", "samples_out", "stalled_at", "gain",
     )
 
     def __init__(self):
@@ -297,6 +376,7 @@ class _Lane:
         self.fill = 0
         self.samples_out = 0
         self.stalled_at: int | None = None
+        self.gain = 1.0  # per-lane volume (aukit.lua:1935 analog)
 
 
 class FlacFleet:
@@ -385,6 +465,17 @@ class FlacFleet:
         """Poison reason for an ended lane (None = healthy); §5.3 isolation."""
         return self._lanes[lane].error
 
+    def set_volume(self, lane: int, volume: float):
+        """Per-lane playback volume (aukit.lua:1935 analog): the smoothed
+        stream scales by ``volume`` after the filter-state read, before the
+        int8-range scale — on every path (host oracle, device DSP twins).
+        Takes effect from the next decoded block; volume 1.0 is bit-exactly
+        the ungained stream."""
+        self._lanes[lane].gain = float(volume)
+
+    def get_volume(self, lane: int) -> float:
+        return self._lanes[lane].gain
+
     def lane_info(self, lane: int) -> dict | None:
         """(rate, channels, depth, length_seconds, metadata) once the lane's
         header has parsed; None before."""
@@ -460,9 +551,9 @@ class FlacFleet:
         and the final window fetch). Returns {lane: f32[take]} or None when
         the step's geometry is mixed (short final frames, mid-stream format
         changes) — the caller falls back to the staged host path. Mesh
-        fleets stay on the staged path by design: its sharded restore is
-        dryrun-proven, and this route is a single-chip residency
-        optimization."""
+        fleets take this route too (VERDICT r3 item 4): both Pallas
+        segments (restore, block IIR) run row-sharded under shard_map and
+        the glue stays global-view jit."""
         import jax.numpy as jnp
 
         from ..kernels.flac_pallas import _order_bucket
@@ -492,6 +583,11 @@ class FlacFleet:
         S = len(orders)
         Sp = _bucket(max(S, nsubs))  # pow2 row padding bounds recompiles
         Sp += (-Sp) % nsubs
+        if self.mesh is not None:
+            # shard_map splits rows evenly: Sp must divide by the device
+            # count while staying frame-aligned (F = Sp/nsubs also divides)
+            q = nsubs * self.mesh.devices.size
+            Sp += (-Sp) % q
         vals = np.zeros((Sp, n), np.int32)
         vals[:S] = values.reshape(S, n)
         pad = np.zeros(Sp - S, np.int32)
@@ -505,31 +601,44 @@ class FlacFleet:
         interpret = self._block_iir == "interpret"
         fn_a, out_len = _device_decode_fn(
             K, nsubs, asgn, depth, n, rate, self.out_rate, self.mode,
-            CONFIG.sinc_window_size, interpret)
+            CONFIG.sinc_window_size, interpret, self.mesh)
         if out_len == 0:
             return None
-        res, tails = fn_a(jnp.asarray(vals), jnp.asarray(meta[0]),
-                          jnp.asarray(meta[1]), jnp.asarray(blk),
-                          jnp.asarray(cf), jnp.asarray(meta[2]))
-
-        # lane -> its frame rows (contiguous per lane, time order preserved)
+        # lane -> its frame rows (contiguous per lane, time order preserved);
+        # cubic/sinc frames gather history from the previous row on device,
+        # first-of-lane rows from the host-carried resample tails
         fstarts = np.concatenate(
             [[0], np.cumsum([len(p[1]) for p in parsed])])
+        Fp = Sp // nsubs
+        first = np.zeros(Fp, bool)
+        tails0 = np.zeros((Fp, C, 2), np.float32)
+        for i, li in enumerate(lanes):
+            first[fstarts[i]] = True
+            tails0[fstarts[i]] = self._lanes[li].last
+        prev_idx = np.maximum(np.arange(Fp) - 1, 0)
+        res, tails = fn_a(jnp.asarray(vals), jnp.asarray(meta[0]),
+                          jnp.asarray(meta[1]), jnp.asarray(blk),
+                          jnp.asarray(cf), jnp.asarray(meta[2]),
+                          jnp.asarray(first), jnp.asarray(prev_idx),
+                          jnp.asarray(tails0))
+
         Lb = _bucket(len(lanes))
         m_max = _bucket(max(len(p[1]) for p in parsed))
         idx = np.zeros((Lb, m_max), np.int64)
         tval = np.zeros(Lb, np.int32)
         ls = np.zeros((Lb, C), np.float32)
+        gains = np.ones(Lb, np.float32)
         for i, li in enumerate(lanes):
             F_li = len(parsed[i][1])
             idx[i, :F_li] = fstarts[i] + np.arange(F_li)
             tval[i] = F_li * out_len
             ls[i] = self._lanes[li].ls
+            gains[i] = self._lanes[li].gain
         alpha = float(l0.alpha)
         fn_b = _device_block_iir_scale_fn(out_len, alpha, self._out_mode(C),
-                                          interpret)
+                                          interpret, self.mesh)
         scaled, new_state = fn_b(res, jnp.asarray(idx), jnp.asarray(tval),
-                                 jnp.asarray(ls))
+                                 jnp.asarray(ls), jnp.asarray(gains))
         scaled = np.asarray(scaled)
         new_state = np.asarray(new_state)
         tails = np.asarray(tails)  # [F, C, <=2] raw dec tails (tiny fetch)
@@ -572,10 +681,11 @@ class FlacFleet:
         # device_restore=False opts out. Lanes partition into per-geometry
         # groups (a mixed-rate fleet takes the device route group by group);
         # non-uniform lanes (short final frames, format changes) fall back to
-        # the staged host path below.
+        # the staged host path below. All 4 interpolation modes run on
+        # device (VERDICT r3 item 5), and mesh fleets take this route too
+        # (item 4: the Pallas segments shard under shard_map).
         if (self.device_dsp and self._block_iir
-                and self.device_restore is not False
-                and self.mesh is None and self.mode in ("none", "linear")):
+                and self.device_restore is not False):
             groups: dict[tuple, list] = {}
             residual = []
             for p in parsed:
@@ -643,7 +753,7 @@ class FlacFleet:
                             np.concatenate([hist[:, -1:], blk], axis=1)[:, -2:])
                 ln.last = hist.copy()
 
-        if self.device_dsp and len(jobs) == 1 and self.mode in ("none", "linear"):
+        if self.device_dsp and len(jobs) == 1:
             (n, rate, C), items = next(iter(jobs.items()))
             dev_out = self._device_dsp_step(n, rate, C, items)
             if dev_out is not None:
@@ -674,9 +784,13 @@ class FlacFleet:
                 x = np.stack([rounds[li][r] for li in lis])
                 st = np.stack([self._lanes[li].ls for li in lis])
                 y, fs = iir_lowpass_scan(x, alpha, st)
+                # per-lane volume AFTER the filter-state read, then the
                 # int8-range scale + mono mean, batched over the whole group
                 # (elementwise -> identical to stream.flac's per-chunk order:
-                # scale in f64, mean in f64, then the f32 cast)
+                # scale in f64, mean in f64, then the f32 cast; gain 1.0
+                # multiplies exactly)
+                y = y * np.array([self._lanes[li].gain
+                                  for li in lis])[:, None, None]
                 scaled = np.clip(y * np.where(y < 0, 128.0, 127.0), -128, 127)
                 if self.mono:
                     if scaled.shape[1] > 1:
@@ -707,7 +821,10 @@ class FlacFleet:
         if out_len == 0:
             return None
         P = len(items)
-        ext = np.zeros((_bucket(P), C, n + 2), np.float32)
+        Pb = _bucket(P)
+        if self.mesh is not None:  # fn_b's shard_map splits rows evenly
+            Pb += (-Pb) % self.mesh.devices.size
+        ext = np.zeros((Pb, C, n + 2), np.float32)
         for k, (_li, _r, e) in enumerate(items):
             ext[k] = e
         res = fn_r(jnp.asarray(ext))  # [Pb, C, out_len]
@@ -720,25 +837,29 @@ class FlacFleet:
         idx = np.zeros((Lb, m_max), np.int64)
         tval = np.zeros(Lb, np.int32)
         ls = np.zeros((Lb, C), np.float32)
+        gains = np.ones(Lb, np.float32)
         for i, li in enumerate(lanes):
             rows = [k for _r, k in sorted(per_lane[li])]
             idx[i, : len(rows)] = rows
             tval[i] = len(rows) * out_len  # valid prefix; pad rows masked
             ls[i] = self._lanes[li].ls
+            gains[i] = self._lanes[li].gain
         alpha = float(self._lanes[lanes[0]].alpha)  # one geometry -> one rate
         if self._block_iir:
             # Pallas block-parallel lowpass (see _device_block_iir_scale_fn)
             fn_b = _device_block_iir_scale_fn(
                 out_len, alpha, self._out_mode(C),
-                self._block_iir == "interpret")
+                self._block_iir == "interpret", self.mesh)
             scaled, new_state = fn_b(res, jnp.asarray(idx),
-                                     jnp.asarray(tval), jnp.asarray(ls))
+                                     jnp.asarray(tval), jnp.asarray(ls),
+                                     jnp.asarray(gains))
         else:
             x = jnp.take(res, jnp.asarray(idx), axis=0)  # [Lb, m, C, out_len]
             x = jnp.moveaxis(x, 2, 1).reshape(Lb, C, m_max * out_len)
             fn_i = _device_iir_scale_fn(m_max * out_len, alpha,
                                         self._out_mode(C))
-            scaled, new_state = fn_i(x, jnp.asarray(ls), jnp.asarray(tval))
+            scaled, new_state = fn_i(x, jnp.asarray(ls), jnp.asarray(tval),
+                                     jnp.asarray(gains))
         scaled = np.asarray(scaled)
         new_state = np.asarray(new_state)
         out = {}
@@ -812,7 +933,17 @@ class FlacFleet:
         """Serializable per-stream state. Restore into a fresh lane and feed
         the source from byte ``byte_offset + len(pending)`` onward to resume
         bit-exactly (the FIFO remnant rides along, so any step boundary is a
-        valid checkpoint — no window-alignment requirement)."""
+        valid checkpoint — no window-alignment requirement).
+
+        device_dsp carve-out: the device route computes the resample history
+        (``last``) and lowpass state (``ls``) in float32, so a checkpoint
+        taken from a ``device_dsp=True`` fleet carries f32-rounded DSP state.
+        Restoring it — into a host fleet or another device fleet — resumes
+        within the device twin's documented tolerance (the first resumed
+        window differs by <= the f32 state rounding amplified through one
+        lowpass pass, ~1e-3 in int8-range units; pinned by
+        tests/test_flac_fleet.py::test_fleet_device_dsp_checkpoint_into_host),
+        not bit-exactly. Host-path (default) checkpoints remain bit-exact."""
         ln = self._lanes[lane]
         return {
             "byte_offset": ln.consumed,
@@ -829,6 +960,7 @@ class FlacFleet:
                 np.zeros(0, np.float32),
             "samples_out": ln.samples_out,
             "stalled_at": ln.stalled_at,
+            "gain": ln.gain,
         }
 
     def restore(self, lane: int, ckpt: dict):
@@ -851,6 +983,7 @@ class FlacFleet:
             ln.fifo.append(fifo.copy())
             ln.fill = fifo.shape[-1]
         ln.samples_out = int(ckpt["samples_out"])
+        ln.gain = float(ckpt.get("gain", 1.0))
         self._lanes[lane] = ln
 
     def reset_lane(self, lane: int):

@@ -113,8 +113,8 @@ class Fleet:
         source ends
     mono / channels : window channel contract (matches BatchStreamEngine /
         FlacFleet: mono [N, T], else per-channel [N, channels, T])
-    interpolation : per-fleet resample mode override (FLAC lanes; engine
-        lanes use the engine DSP)
+    interpolation : per-fleet resample mode override (none/linear/cubic/
+        sinc) applied to both the FLAC lanes and the engine DSP
     mesh / use_pallas / device_restore / device_dsp : forwarded to the
         underlying engines
     """
@@ -161,7 +161,7 @@ class Fleet:
         if specs:
             self.engine = BatchStreamEngine(
                 specs, mesh=mesh, use_pallas=use_pallas, mono=mono,
-                windowed=True)
+                windowed=True, interpolation=interpolation)
         self.flac = None
         if n_flac:
             self.flac = FlacFleet(
@@ -271,6 +271,17 @@ class Fleet:
         if st.kind == "flac":
             return self.flac.lane_error(st.lanes[0])
         return None
+
+    def set_volume(self, station: int, volume: float, ramp: bool = False):
+        """Per-station playback volume (aukit.lua:1935 analog; austream's
+        ``volume=`` for fleet playback). Engine stations support a
+        click-free linear ramp across the next chunk."""
+        st = self.stations[station]
+        if st.kind == "flac":
+            self.flac.set_volume(st.lanes[0], volume)
+            return
+        for ln in st.lanes:
+            self.engine.set_volume(ln, volume, ramp=ramp)
 
     @property
     def metrics(self) -> BatchMetrics:

@@ -152,39 +152,78 @@ def _flac_frame_header(data: bytes, i: int):
         return None
 
 
-def flac_seek(data: bytes, seconds: float) -> tuple[int, float]:
-    """FLAC: validated frame-sync walk from the first audio frame. ``data``
-    is the whole file (or its head through the target); returns the offset of
-    the last frame starting at or before ``seconds``. Resume by feeding
-    ``data[:frame_start] + data[offset:]`` (metadata header + frames from the
-    landing) to ``stream.flac`` or ``aukit.flac``."""
-    from ..codecs.flac import parse_flac_header
-
-    sample_rate, _ch, _depth, num_samples, _meta, fpos = parse_flac_header(data)
-    # STREAMINFO is always the first metadata block: nominal (max) block size
-    # converts fixed-blocksize frame indices to sample starts
-    nominal = int.from_bytes(data[10:12], "big")
-    target = int(seconds * sample_rate)
-    if num_samples:
-        target = min(target, num_samples)
-    best, best_start = fpos, 0
-    i = fpos
+def _flac_next_frame(data: bytes, i: int, nominal: int, scanned: list):
+    """First VALIDATED frame header at or after ``i``:
+    (offset, start_sample, block) or None. ``scanned`` accumulates probe
+    cost."""
     n = len(data)
     while True:
         j = data.find(b"\xff", i, n - 4)
         if j < 0:
-            break
+            return None
+        scanned[0] += j - i + 1
         hdr = _flac_frame_header(data, j)
         if hdr is None:
             i = j + 1
             continue
-        variable, coded, _block = hdr
-        start = coded if variable else coded * nominal
+        variable, coded, block = hdr
+        return j, (coded if variable else coded * nominal), block
+
+
+def flac_seek(data: bytes, seconds: float) -> tuple[int, float]:
+    """FLAC: estimated-position seek with a validated frame-sync walk.
+    ``data`` is the whole file (or its head through the target); returns the
+    offset of the last frame starting at or before ``seconds``. Resume by
+    feeding ``data[:frame_start] + data[offset:]`` (metadata header + frames
+    from the landing) to ``stream.flac`` or ``aukit.flac``.
+
+    When STREAMINFO declares the total sample count, the walk starts from a
+    byte-rate first guess (target/total of the audio bytes) and backs off in
+    doubling hops until a validated frame at or before the target is found —
+    O(probe) instead of O(file) on long streams (the reference has no seek
+    at all; frames carry their warmup in-band so landing on any validated
+    frame boundary is exact, aukit.lua:514-553). ``flac_seek.last_scanned``
+    reports the bytes the probe actually touched (test hook)."""
+    from ..codecs.flac import parse_flac_header
+
+    sample_rate, _ch, _depth, num_samples, _meta, fpos = parse_flac_header(data)
+    # fixed-blocksize streams code the FRAME INDEX: the constant block size
+    # converts it to a sample start. Take it from the stream's own first
+    # frame (authoritative — every non-final frame carries it), falling back
+    # to STREAMINFO's max-blocksize field for unparseable heads
+    h0 = _flac_frame_header(data, fpos)
+    nominal = h0[2] if h0 is not None else int.from_bytes(data[10:12], "big")
+    target = int(seconds * sample_rate)
+    if num_samples:
+        target = min(target, num_samples)
+    n = len(data)
+    scanned = [0]
+    best, best_start = fpos, 0
+    if num_samples and target > 0 and n - fpos > (1 << 16):
+        frac = min(target / num_samples, 1.0)
+        guess = fpos + int((n - fpos) * frac)
+        step = 1 << 16
+        lo = guess
+        while lo > fpos:
+            lo = max(fpos, lo - step)
+            hit = _flac_next_frame(data, lo, nominal, scanned)
+            if hit is not None and hit[1] <= target:
+                best, best_start = hit[0], hit[1]
+                break
+            step *= 2  # overshot (or tail garbage): double the back-off
+    # forward walk: last validated frame starting at or before the target
+    i = best if best > fpos else fpos
+    while True:
+        hit = _flac_next_frame(data, i, nominal, scanned)
+        if hit is None:
+            break
+        j, start, _block = hit
         if start > target:
             break
         if start >= best_start:  # frames arrive in order; reject stale hits
             best, best_start = j, start
         i = j + 4
+    flac_seek.last_scanned = scanned[0]
     return best, best_start / sample_rate
 
 

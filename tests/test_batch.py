@@ -746,7 +746,8 @@ def test_engine_fused_dfpwm_dsp_matches_scan_path(monkeypatch):
     orig = kp.dfpwm_decode_dsp_grouped
     monkeypatch.setattr(
         kp, "dfpwm_decode_dsp_grouped",
-        lambda b, s, a, n=None, m=None, interpret=False: orig(b, s, a, n, m, True))
+        lambda b, s, a, n=None, m=None, g=None, interpret=False:
+        orig(b, s, a, n, m, g, True))
     rng = np.random.default_rng(31)
     lanes, chunk, steps = 8, 750, 3
     # ragged feeds: lanes go not-ready at different steps (driving the
@@ -792,7 +793,8 @@ def test_engine_fused_dfpwm_sharded_over_mesh(monkeypatch):
     orig = kp.dfpwm_decode_dsp_grouped
     monkeypatch.setattr(
         kp, "dfpwm_decode_dsp_grouped",
-        lambda b, s, a, n=None, m=None, interpret=False: orig(b, s, a, n, m, True))
+        lambda b, s, a, n=None, m=None, g=None, interpret=False:
+        orig(b, s, a, n, m, g, True))
     rng = np.random.default_rng(41)
     lanes, chunk = 8, 750
     data = rng.integers(0, 256, (lanes, chunk * 2), dtype=np.uint8)
@@ -830,7 +832,8 @@ def test_batch_mixed_fleet_kernel_route_sharded_over_mesh(monkeypatch):
                         lambda b, s, n=None, interpret=False: dg(b, s, n, True))
     monkeypatch.setattr(
         dkp, "dfpwm_decode_dsp_grouped",
-        lambda b, s, a, n=None, m=None, interpret=False: dd(b, s, a, n, m, True))
+        lambda b, s, a, n=None, m=None, g=None, interpret=False:
+        dd(b, s, a, n, m, g, True))
     io, mo = ikp.ima_decode_pallas, mkp.msadpcm_decode_pallas
     monkeypatch.setattr(ikp, "ima_decode_pallas",
                         lambda n, p, s, interpret=False: io(n, p, s, True))
@@ -959,3 +962,148 @@ def test_batch_multichannel_playback_fanout():
         got = sink.samples()
         np.testing.assert_allclose(got[: len(exp)], exp.astype(np.float64),
                                    atol=1)
+
+
+def test_batch_engine_interpolation_modes():
+    """VERDICT r3 item 5 (engine half): dsp_chain runs all four
+    interpolation modes; cubic/sinc engine lanes match a numpy replica of
+    the chunk-local plan (edge-fallback taps, FIR, int8)."""
+    from aukit_tpu.ops.resample import sinc_weights
+    from aukit_tpu.config import CONFIG as _C
+
+    rate = 44100
+    sig = np.sin(np.arange(rate) / 7.0).astype(np.float32) * 0.7
+    pcm = (sig * 32767).astype(np.int16)
+    norm = norm16f(pcm.astype(np.int64))
+
+    def ref(mode):
+        n_in = len(norm)
+        n_out = n_in * 48000 // rate
+        i = np.arange(n_out, dtype=np.int64)
+        ffx = i * rate // 48000
+        frac = ((i * rate - ffx * 48000).astype(np.float64) / 48000)
+        fr = frac.astype(np.float32)
+        exact = frac == 0.0
+        take = lambda ix: norm[np.clip(ix, 0, n_in - 1)]
+        p1 = take(ffx)
+        if mode == "none":
+            s = p1
+        elif mode == "linear":
+            s = p1 + (take(np.minimum(ffx + 1, n_in - 1)) - p1) * fr
+        elif mode == "cubic":
+            p0 = take(np.where(ffx - 1 >= 0, ffx - 1, ffx))
+            i2 = np.where(ffx + 1 <= n_in - 1, ffx + 1, ffx)
+            p2, p3 = take(i2), take(np.where(ffx + 2 <= n_in - 1, ffx + 2, i2))
+            val = ((-0.5 * p0 + 1.5 * p1 - 1.5 * p2 + 0.5 * p3) * fr**3
+                   + (p0 - 2.5 * p1 + 2.0 * p2 - 0.5 * p3) * fr**2
+                   + (-0.5 * p0 + 0.5 * p2) * fr + p1)
+            s = np.where(exact, p1, val)
+        else:  # sinc
+            W = _C.sinc_window_size
+            w = sinc_weights(frac, W).astype(np.float32)
+            acc = np.zeros_like(p1)
+            for t in range(2 * W + 1):
+                idx = ffx + (t - W)
+                valid = (idx >= 0) & (idx <= n_in - 1)
+                acc += take(idx) * (w[:, t] * valid).astype(np.float32)
+            s = np.where(exact, p1, acc)
+        s = s.astype(np.float32)
+        alpha = np.float32(1.0 - math.exp(-(rate / 96000) * 2 * math.pi))
+        prev = np.concatenate([[np.float32(0)], s[:-1]])
+        out = prev + alpha * (s - prev)
+        out = out * np.where(out < 0, 128.0, 127.0)
+        return np.clip(out, -128, 127).astype(np.int8)
+
+    outs = {}
+    for mode in ("none", "linear", "cubic", "sinc"):
+        eng = BatchStreamEngine([LaneSpec("pcm16", rate)],
+                                interpolation=mode)
+        assert eng.interpolation == mode
+        eng.feed(0, pcm.tobytes())
+        eng.feed(0, None)
+        chunk, mask, _ = eng.step()
+        got = np.asarray(chunk[0])
+        exp = ref(mode)
+        np.testing.assert_allclose(got[: len(exp)].astype(np.int32), exp,
+                                   atol=1)
+        outs[mode] = got
+    assert not np.array_equal(outs["linear"], outs["cubic"])
+    assert not np.array_equal(outs["cubic"], outs["sinc"])
+
+
+# -- round 4: per-lane volume (VERDICT r3 item 6) ---------------------------------------
+
+def test_batch_engine_volume_fused_matches_scan_bitexact(monkeypatch):
+    """Per-lane gain (incl. a ramp) inside the fused DFPWM epilogue is
+    BIT-identical to the scan + dsp_chain path — int8 rounding included."""
+    from aukit_tpu.kernels import dfpwm_pallas as kp
+
+    orig = kp.dfpwm_decode_dsp_grouped
+    monkeypatch.setattr(
+        kp, "dfpwm_decode_dsp_grouped",
+        lambda b, s, a, n=None, m=None, g=None, interpret=False:
+        orig(b, s, a, n, m, g, True))
+    rng = np.random.default_rng(91)
+    lanes, chunk = 4, 750
+    data = [rng.integers(0, 256, chunk * 3, dtype=np.uint8) for _ in range(lanes)]
+    outs = {}
+    for use_pallas in (True, False):
+        eng = BatchDfpwmDecoder(lanes, 48000, chunk_bytes=chunk,
+                                use_pallas=use_pallas)
+        eng.set_volume(0, 0.5)
+        eng.set_volume(1, 1.7)
+        eng.set_volume(2, 0.25, ramp=True)  # ramps 1.0 -> 0.25 over chunk 1
+        for i, d in enumerate(data):
+            eng.feed(i, d.tobytes())
+            eng.feed(i, None)
+        got = []
+        while (r := eng.step()) is not None:
+            got.append(np.asarray(r[0]))
+        outs[use_pallas] = np.concatenate(got, axis=1)
+    np.testing.assert_array_equal(outs[True], outs[False])
+    # gains actually applied: lane 0 is quieter than an ungained engine
+    eng0 = BatchDfpwmDecoder(lanes, 48000, chunk_bytes=chunk, use_pallas=False)
+    for i, d in enumerate(data):
+        eng0.feed(i, d.tobytes())
+        eng0.feed(i, None)
+    base = []
+    while (r := eng0.step()) is not None:
+        base.append(np.asarray(r[0]))
+    base = np.concatenate(base, axis=1)
+    assert np.abs(outs[False][0]).sum() < np.abs(base[0]).sum()
+    np.testing.assert_array_equal(outs[False][3], base[3])  # untouched lane
+
+
+def test_batch_engine_volume_matches_solo_times_gain():
+    """Engine windows with volume g match the solo float chain x g quantized
+    with the same truncating int8 cast (g = 0.5: exact power-of-two scale,
+    no clipping) — 'solo stream x volume' bit-exactly."""
+    rate = 48000
+    d = RNG.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+    eng = BatchStreamEngine([LaneSpec("dfpwm", rate)])
+    eng.set_volume(0, 0.5)
+    eng.feed(0, d)
+    eng.feed(0, None)
+    chunk, _, _ = eng.step()
+    got = np.asarray(chunk[0])
+    # solo float chain: normalize -> FIR -> x0.5 -> int8 scale/trunc
+    s = np.asarray(dfpwm_decode_ref(d), np.float64)
+    s = s / np.where(s < 0, 128.0, 127.0)
+    a = 1.0 - math.exp(-0.5 * 2 * math.pi)
+    prev = np.concatenate([[0.0], s[:-1]])
+    out = (prev + a * (s - prev)) * 0.5
+    out = out * np.where(out < 0, 128.0, 127.0)
+    exp = np.clip(out, -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_batch_engine_volume_checkpoint_roundtrip():
+    eng = BatchStreamEngine([LaneSpec("dfpwm", 48000)] * 2)
+    eng.set_volume(0, 0.3)
+    eng.set_volume(1, 2.0, ramp=True)
+    ck = eng.checkpoint(1)
+    assert ck["volume"] == (1.0, 2.0)
+    eng2 = BatchStreamEngine([LaneSpec("dfpwm", 48000)] * 2)
+    eng2.restore(1, ck)
+    assert eng2.get_volume(1) == 2.0
+    assert eng2.groups[0].gain0[1] == np.float32(1.0)

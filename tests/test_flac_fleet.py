@@ -456,14 +456,17 @@ def test_device_block_iir_matches_doubling_twin():
     tval = np.array([m, m, 2, 1], np.int32) * out_len  # ragged valid prefixes
     ls = (rng.standard_normal((Lb, C)) * 0.2).astype(np.float32)
 
-    for alpha, mono in ((0.9568, True), (0.02, False)):  # dN==0 and dN!=0
-        fn_d = _device_iir_scale_fn(m * out_len, alpha, mono)
+    ones = np.ones(Lb, np.float32)
+    for alpha, out_mode in ((0.9568, "mix"), (0.02, "first")):  # dN==0 / !=0
+        fn_d = _device_iir_scale_fn(m * out_len, alpha, out_mode)
         x = jnp.take(jnp.asarray(res), jnp.asarray(idx), axis=0)
         x = jnp.moveaxis(x, 2, 1).reshape(Lb, C, m * out_len)
-        exp, exp_st = fn_d(x, jnp.asarray(ls), jnp.asarray(tval))
-        fn_b = _device_block_iir_scale_fn(out_len, alpha, mono, True)
+        exp, exp_st = fn_d(x, jnp.asarray(ls), jnp.asarray(tval),
+                           jnp.asarray(ones))
+        fn_b = _device_block_iir_scale_fn(out_len, alpha, out_mode, True)
         got, got_st = fn_b(jnp.asarray(res), jnp.asarray(idx),
-                           jnp.asarray(tval), jnp.asarray(ls))
+                           jnp.asarray(tval), jnp.asarray(ls),
+                           jnp.asarray(ones))
         assert got.shape == exp.shape
         for i in range(Lb):  # only the valid prefix is consumed downstream
             np.testing.assert_allclose(np.asarray(got)[i, :tval[i]],
@@ -718,3 +721,116 @@ def test_fleet_multichannel_device_dsp_close():
     for a, b in zip(host, dev):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+# -- round 4: all-mode device DSP + mesh device route --------------------------------
+
+@pytest.mark.parametrize("mode", ["none", "linear", "cubic", "sinc"])
+def test_fleet_device_dsp_all_interpolation_modes(mode):
+    """VERDICT r3 item 5: the device DSP twins run ALL four interpolation
+    modes (cubic/sinc gather cross-frame history on device); each stays
+    within the documented f32 tolerance of the host fleet in the same mode."""
+    import jax
+
+    datas = [make_flac(44100, 5, seed=60, channels=2, chan_asgn=10),
+             make_flac(44100, 5, seed=61, channels=2, chan_asgn=10)]
+    host, _ = run_fleet(datas, fleet=FlacFleet(2, interpolation=mode))
+    fleet = FlacFleet(2, device_restore=True, device_dsp=True,
+                      interpolation=mode)
+    if jax.default_backend() != "tpu":
+        fleet._block_iir = "interpret"
+    dev, _ = run_fleet(datas, fleet=fleet)
+    for a, b in zip(host, dev):
+        assert len(a) == len(b) > 0
+        np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+@pytest.mark.parametrize("mode", ["linear", "cubic"])
+def test_fleet_device_route_sharded_over_mesh_bit_exact(mode):
+    """VERDICT r3 item 4: the fully device-resident fleet step runs under a
+    mesh — the Pallas restore and block-IIR segments shard row-wise via
+    shard_map — and is BIT-identical to the unsharded device route."""
+    import jax
+
+    from aukit_tpu.parallel.pipeline import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    datas = [make_flac(48000, 4, seed=62 + i) for i in range(3)]
+
+    def run(mesh):
+        fleet = FlacFleet(3, device_restore=True, device_dsp=True, mesh=mesh,
+                          interpolation=mode)
+        fleet._block_iir = "interpret"
+        return run_fleet(datas, fleet=fleet)[0]
+
+    plain, sharded = run(None), run(make_mesh(8))
+    for a, b in zip(plain, sharded):
+        assert len(a) == len(b) > 0
+        np.testing.assert_array_equal(a, b)
+
+
+def test_fleet_per_lane_volume():
+    """Per-lane fleet volume: a 0.5-gained lane's windows equal the ungained
+    lane's windows x 0.5 exactly (power-of-two scale, no clipping), on both
+    the host path and the device DSP twin; checkpoints carry the gain."""
+    import jax
+
+    data = make_flac(44100, 5, seed=90)
+    base, _ = run_fleet([data])
+    fleet = FlacFleet(1)
+    fleet.set_volume(0, 0.5)
+    got, fleet = run_fleet([data], fleet=fleet)
+    b, g = base[0], got[0]
+    unclipped = np.abs(b) < 127
+    np.testing.assert_array_equal(g[unclipped], (b * 0.5)[unclipped])
+    assert fleet.checkpoint(0)["gain"] == 0.5
+
+    dev = FlacFleet(1, device_restore=True, device_dsp=True)
+    if jax.default_backend() != "tpu":
+        dev._block_iir = "interpret"
+    dev.set_volume(0, 0.5)
+    dv, _ = run_fleet([data], fleet=dev)
+    np.testing.assert_allclose(dv[0], g, atol=5e-3)
+
+
+def test_fleet_device_dsp_checkpoint_into_host():
+    """VERDICT r3 weak 2 / item 8: a checkpoint taken mid-stream from a
+    device_dsp fleet restores into a HOST-path fleet; the resumed stream
+    matches the all-host run within the f32-state bound the checkpoint
+    docstring pins (and the joint stream deviates nowhere beyond the twin
+    tolerance)."""
+    import jax
+
+    data = make_flac(44100, 100, seed=95, channels=2, chan_asgn=10)
+    full, _ = run_fleet([data])  # all-host oracle
+
+    dev = FlacFleet(1, device_restore=True, device_dsp=True)
+    if jax.default_backend() != "tpu":
+        dev._block_iir = "interpret"
+    half = len(data) // 2
+    dev.feed(0, data[:half])
+    got = []
+    for _ in range(4):
+        r = dev.step()
+        if r is not None and r[1][0]:
+            got.append(r[0][0])
+    assert got, "device fleet must have produced windows before checkpoint"
+    ck = dev.checkpoint(0)
+    host = FlacFleet(1)  # restore into the host-path fleet
+    host.restore(0, ck)
+    host.feed(0, data[ck["byte_offset"] + len(ck["pending"]):])
+    host.feed(0, None)
+    guard = 0
+    while not host.done:
+        r = host.step()
+        guard += 1
+        assert guard < 1000
+        if r is not None and r[1][0]:
+            got.append(r[0][0])
+    resumed = np.concatenate(got)
+    assert len(resumed) == len(full[0])
+    # the pre-checkpoint windows carry the f32 twin deviation; the resumed
+    # tail additionally carries the f32-rounded carried state — both stay
+    # within the documented tolerance of the all-host run
+    np.testing.assert_allclose(resumed, full[0], atol=5e-3)
