@@ -72,46 +72,25 @@ def dsp_chain(samples_f32: jnp.ndarray, in_rate: int, out_rate: int = 48000,
     does — a deliberate fixed-shape simplification (affects ~ratio samples
     per chunk by < 1 interpolation step; exact for identity rates, where
     every mode passes p1 through)."""
+    if mode not in ("none", "linear", "cubic", "sinc"):
+        raise ValueError(f"invalid interpolation mode {mode!r}")
     n_in = samples_f32.shape[-1]
     if in_rate == out_rate:
         s = samples_f32  # identity: every mode passes p1 through at exact x
     else:
-        n_out, ffx, frac = _resample_tables(n_in, in_rate, out_rate)
-        exact = frac == 0.0
-        take = lambda i: jnp.take(samples_f32, jnp.asarray(np.clip(i, 0, n_in - 1)), axis=-1)  # noqa: E731
-        p1 = take(ffx)
-        fr = jnp.asarray(frac)
-        if mode == "none":
-            s = p1
-        elif mode == "linear":
-            p2 = take(np.minimum(ffx + 1, n_in - 1))
-            s = p1 + (p2 - p1) * fr
-        elif mode == "cubic":
-            p0 = take(np.where(ffx - 1 >= 0, ffx - 1, ffx))
-            i2 = np.where(ffx + 1 <= n_in - 1, ffx + 1, ffx)
-            p2 = take(i2)
-            p3 = take(np.where(ffx + 2 <= n_in - 1, ffx + 2, i2))
-            val = ((-0.5 * p0 + 1.5 * p1 - 1.5 * p2 + 0.5 * p3) * fr**3
-                   + (p0 - 2.5 * p1 + 2.0 * p2 - 0.5 * p3) * fr**2
-                   + (-0.5 * p0 + 0.5 * p2) * fr + p1)
-            s = jnp.where(jnp.asarray(exact), p1, val)
-        elif mode == "sinc":
-            from ..config import CONFIG
-            from ..ops.resample import sinc_weights
+        from ..ops.resample import block_interp_device, sinc_weights
 
-            W = CONFIG.sinc_window_size
-            w = sinc_weights(frac.astype(np.float64), W).astype(np.float32)
-            acc = jnp.zeros_like(p1)
-            for t in range(2 * W + 1):
-                idx = ffx + (t - W)
-                valid = (idx >= 0) & (idx <= n_in - 1)
-                wt = np.asarray(w[:, t] * valid, np.float32)
-                if not wt.any():
-                    continue
-                acc = acc + take(idx) * jnp.asarray(wt)
-            s = jnp.where(jnp.asarray(exact), p1, acc)
-        else:
-            raise ValueError(f"invalid interpolation mode {mode!r}")
+        n_out, ffx, frac = _resample_tables(n_in, in_rate, out_rate)
+        w = None
+        if mode == "sinc":
+            from ..config import CONFIG
+
+            w = sinc_weights(frac.astype(np.float64), CONFIG.sinc_window_size)
+        # H == 0: the chunk-local form (edge taps clamp/fall back within the
+        # chunk — the documented fixed-shape simplification)
+        s = block_interp_device(samples_f32, n_in, 0, n_out,
+                                ffx.astype(np.int64), frac, frac == 0.0,
+                                mode, w)
     alpha = jnp.float32(fir_alpha(in_rate, out_rate))
     first = jnp.zeros_like(s[..., :1]) if fir_state is None else fir_state[..., None]
     prev = jnp.concatenate([first, s[..., :-1]], axis=-1)

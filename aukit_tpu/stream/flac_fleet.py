@@ -79,49 +79,8 @@ def _fit_channels(arr: np.ndarray, cap: int) -> np.ndarray:
         [arr, np.broadcast_to(arr[:1], (cap - C, arr.shape[1]))])
 
 
-def _block_interp_device(ext, n: int, H: int, out_len, ffx0, frac, exact,
-                         mode: str, w):
-    """Traced core shared by the fleet's device resample twins: replicate
-    ``lua_block_resample``'s edge-fallback semantics (aukit.lua:253-284) over
-    ``ext[..., H + n]`` (H history columns, hist_valid == H so lo == 0) with
-    STATIC index/weight tables — all four interpolation modes. f32."""
-    import jax.numpy as jnp
-
-    hi = H + n - 1
-    ffx = ffx0 + H
-    fracj = jnp.asarray(frac.astype(np.float32))
-    exactj = jnp.asarray(exact)
-
-    def take(idx):
-        return jnp.take(ext, jnp.asarray(np.clip(idx, 0, hi)), axis=-1)
-
-    if mode == "none":
-        return take(ffx)
-    p1 = take(ffx)
-    if mode == "linear":
-        p2 = take(np.where(ffx + 1 <= hi, ffx + 1, ffx))
-        return jnp.where(exactj, p1, p1 + (p2 - p1) * fracj)
-    if mode == "cubic":
-        p0 = take(np.where(ffx - 1 >= 0, ffx - 1, ffx))
-        i2 = np.where(ffx + 1 <= hi, ffx + 1, ffx)
-        p2 = take(i2)
-        p3 = take(np.where(ffx + 2 <= hi, ffx + 2, i2))
-        val = ((-0.5 * p0 + 1.5 * p1 - 1.5 * p2 + 0.5 * p3) * fracj**3
-               + (p0 - 2.5 * p1 + 2.0 * p2 - 0.5 * p3) * fracj**2
-               + (-0.5 * p0 + 0.5 * p2) * fracj + p1)
-        return jnp.where(exactj, p1, val)
-    # sinc: static per-output weight rows; taps outside [0, hi] drop via the
-    # static valid mask (host path: take() clips + weight zeroing)
-    W = (w.shape[1] - 1) // 2
-    acc = jnp.zeros_like(p1)
-    for t in range(2 * W + 1):
-        idx = ffx + (t - W)
-        valid = (idx >= 0) & (idx <= hi)
-        wt = np.asarray(w[:, t] * valid, np.float32)
-        if not wt.any():
-            continue
-        acc = acc + take(idx) * jnp.asarray(wt)
-    return jnp.where(exactj, p1, acc)
+from ..ops.resample import block_interp_device as _block_interp_device  # noqa: E402
+# (shared traced interpolator core — also used by parallel.pipeline.dsp_chain)
 
 
 @functools.lru_cache(maxsize=128)

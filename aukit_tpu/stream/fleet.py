@@ -26,7 +26,12 @@ Semantics notes:
  - engine-lane stations run the engine DSP (dsp_chain 2-tap FIR); MDFPWM
    stations therefore carry the engine's identity-rate smoothing rather than
    solo ``stream.mdfpwm``'s unsmoothed path (the bridges' documented
-   semantics, tests/test_batch.py mdfpwm bridge test);
+   semantics, tests/test_batch.py mdfpwm bridge test). MDFPWM tails follow
+   the LOADER's layout (aukit.lua:1430-1441: a final partial 12000-byte
+   pair splits <=6000 bytes to L then the remainder to R, each lane trimmed
+   to length//2 bytes — the mdfpwm_to_lanes bridge contract); the lanes may
+   end ragged, in which case the shorter lane contributes zeros to the
+   final mixed window rather than stream.mdfpwm's sample-exact tail trim;
  - container stations must present the full header in their construction
    bytes (the reference requires the first chunk to hold the header too,
    aukit.lua:2929); later ``feed()`` bytes continue the same byte stream and
@@ -329,7 +334,12 @@ class Fleet:
             if st.kind == "engine":
                 if er[1][st.lanes[0]]:
                     mask[i] = True
-                    windows[i] = ew[st.lanes[0]]
+                    w = ew[st.lanes[0]]
+                    # the engine pads to ITS max channel count, which may
+                    # differ from the facade's capacity — fit (replicate
+                    # channel 0 / truncate) before assignment
+                    windows[i] = (w if self.mono
+                                  else _fit_channels(w, self.out_ch))
             else:  # mdfpwm: merge the L/R lanes at the station boundary
                 li, ri = st.lanes
                 if er[1][li] or er[1][ri]:

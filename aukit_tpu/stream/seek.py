@@ -152,13 +152,15 @@ def _flac_frame_header(data: bytes, i: int):
         return None
 
 
-def _flac_next_frame(data: bytes, i: int, nominal: int, scanned: list):
-    """First VALIDATED frame header at or after ``i``:
-    (offset, start_sample, block) or None. ``scanned`` accumulates probe
-    cost."""
+def _flac_next_frame(data: bytes, i: int, nominal: int, scanned: list,
+                     end: int | None = None):
+    """First VALIDATED frame header at or after ``i`` (sync search bounded
+    at ``end``): (offset, start_sample, block) or None. ``scanned``
+    accumulates probe cost."""
     n = len(data)
+    stop = n - 4 if end is None else min(end, n - 4)
     while True:
-        j = data.find(b"\xff", i, n - 4)
+        j = data.find(b"\xff", i, stop)
         if j < 0:
             return None
         scanned[0] += j - i + 1
@@ -204,12 +206,19 @@ def flac_seek(data: bytes, seconds: float) -> tuple[int, float]:
         guess = fpos + int((n - fpos) * frac)
         step = 1 << 16
         lo = guess
+        limit = None  # shrink each probe to the unproven region: beyond it
+        # the first frame is either known to overshoot or known absent, so
+        # re-scanning there would make a frameless suffix cost O(n log n)
         while lo > fpos:
             lo = max(fpos, lo - step)
-            hit = _flac_next_frame(data, lo, nominal, scanned)
-            if hit is not None and hit[1] <= target:
+            hit = _flac_next_frame(data, lo, nominal, scanned, limit)
+            if hit is None:
+                limit = lo  # [lo, limit) proven frameless
+            elif hit[1] <= target:
                 best, best_start = hit[0], hit[1]
                 break
+            else:
+                limit = hit[0]  # first frame from lo overshoots the target
             step *= 2  # overshot (or tail garbage): double the back-off
     # forward walk: last validated frame starting at or before the target
     i = best if best > fpos else fpos

@@ -30,8 +30,9 @@ def _flac_station(rng, seconds: int) -> bytes:
 
 
 def _dfpwm_station(rng, seconds: int) -> bytes:
-    # encode a drifting tone through the library's own encoder so the
-    # stream is genuine DFPWM, then mark it with a LaneSpec at add time
+    # random bytes ARE a decodable DFPWM stream (1 bit/sample delta codec:
+    # any bit pattern drives the predictor) — good enough for a synthetic
+    # station; real stations would carry encoder output
     return bytes(rng.integers(0, 256, seconds * 6000, dtype=np.uint8))
 
 

@@ -222,3 +222,27 @@ def test_fleet_facade_explicit_lanespec_and_errors():
     f2 = Fleet([flac])
     with pytest.raises(ValueError, match="kind"):
         f2.restore(0, {"kind": "engine", "fed": 0, "sub": {}})
+
+
+def test_fleet_facade_channel_capacity_mismatch():
+    """Review r4 finding 1: an engine station whose channel count differs
+    from the facade capacity fits (replicate channel 0 / truncate) instead
+    of crashing."""
+    rate = 24000
+    t = np.arange(rate)
+    left = (np.sin(t / 9.0) * 20000).astype(np.int16)
+    right = (np.cos(t / 5.0) * 15000).astype(np.int16)
+    inter = np.stack([left, right], axis=1).reshape(-1).tobytes()
+    spec = LaneSpec("pcm16", rate, 2)
+    # stereo station into a 4-channel facade: channels 2/3 replicate ch 0
+    f4 = Fleet([(spec, inter)], mono=False, channels=4)
+    w, m, _ = f4.step()
+    assert w.shape[1] == 4 and m[0]
+    np.testing.assert_array_equal(w[0, 2], w[0, 0])
+    np.testing.assert_array_equal(w[0, 3], w[0, 0])
+    assert not np.array_equal(w[0, 0], w[0, 1])
+    # stereo station into a 1-channel facade: truncates to channel 0
+    f1 = Fleet([(spec, inter)], mono=False, channels=1)
+    w1, m1, _ = f1.step()
+    assert w1.shape[1] == 1 and m1[0]
+    np.testing.assert_array_equal(w1[0, 0], w[0, 0])

@@ -942,3 +942,32 @@ def test_flac_seek_estimated_probe_on_long_stream():
     off, landing = sk.flac_seek(data, 10_000.0)
     assert off == offs[nframes - 1]
     assert landing == (nframes - 1) * n / rate
+
+
+def test_flac_seek_probe_bounded_on_frameless_suffix():
+    """Review r4 finding 2: when the byte-rate guess lands in a large
+    frameless suffix (appended garbage), each back-off probe is bounded at
+    the already-proven-frameless region — total scan stays O(n), not
+    O(n log n)."""
+    from aukit_tpu.stream import seek as sk
+
+    n, rate = 256, 48000
+    nframes = 400
+    rngl = np.random.default_rng(9)
+    frames = [fixtures.flac_frame(
+        [{"type": "verbatim",
+          "values": [int(v) for v in rngl.integers(-2000, 2000, n)]}],
+        n, 0, 16, frame_number=k) for k in range(nframes)]
+    hdr = fixtures.flac_stream_header(rate, 1, 16, nframes * n)
+    audio = hdr + b"".join(frames)
+    garbage = b"\x01\x02" * (1 << 20)  # 2 MB frameless suffix, no 0xFF
+    data = audio + garbage
+
+    off, landing = sk.flac_seek(data, 1.5)
+    k = int(1.5 * rate) // n
+    assert landing == k * n / rate
+    # every probe past the first is clipped at the proven-frameless edge:
+    # total <= one pass over the suffix + the local hops, far below the
+    # ~5x-suffix cost of unbounded rescans
+    assert sk.flac_seek.last_scanned < len(garbage) + 600_000, \
+        sk.flac_seek.last_scanned
