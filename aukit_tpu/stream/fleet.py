@@ -277,6 +277,17 @@ class Fleet:
             return self.flac.lane_error(st.lanes[0])
         return None
 
+    def station_iterator(self, station: int):
+        """Generator of ``(chunk, position_seconds)`` for ONE station — the
+        stream-iterator facade over the batched Fleet, directly consumable
+        by ``playback.play`` / ``playback.player`` (with ``mono=False`` each
+        chunk is [C, T]: sink i receives channel i, aukit.lua:1929-1940).
+        NOTE: iterating advances the WHOLE fleet; one consumer per Fleet."""
+        while (r := self.step()) is not None:
+            windows, mask, pos = r
+            if mask[station]:
+                yield windows[station], float(pos[station])
+
     def set_volume(self, station: int, volume: float, ramp: bool = False):
         """Per-station playback volume (aukit.lua:1935 analog; austream's
         ``volume=`` for fleet playback). Engine stations support a

@@ -560,6 +560,50 @@ def bench_all():
         attach_device_busy(line, device_fleet_pass, fl_lanes * nfr * n)
     lines.append(line)
 
+    # config 7b: the ONE-dispatch-surface facade (stream/fleet.py): mixed
+    # FLAC + DFPWM + IMA-in-WAV stations behind a single feed/step loop —
+    # what a mixed radio server actually runs (round-4 VERDICT item 3)
+    from aukit_tpu.stream.fleet import Fleet
+
+    import struct as _st
+
+    def _ima_wav(seconds, rate=16000, ba=256):
+        spb = (ba - 4) * 2
+        kblk = -(-seconds * rate // spb)
+        payload = rng.integers(0, 256, kblk * ba, dtype=np.uint8)
+        payload[::ba] = 0
+        payload[2::ba] = rng.integers(0, 89, kblk)
+        pay = payload.tobytes()
+        fmt = _st.pack("<HHIIHHHH", 0x11, 1, rate, rate * ba // spb, ba, 4,
+                       2, spb)
+        return (b"RIFF" + _st.pack("<I", 4 + 8 + len(fmt) + 8 + len(pay))
+                + b"WAVE" + b"fmt " + _st.pack("<I", len(fmt)) + fmt
+                + b"data" + _st.pack("<I", len(pay)) + pay)
+
+    fstations = 48 if backend == "tpu" else 24
+    fsec = 10
+    fl_src = fixtures.flac_stream_header(48000, 1, 16, fsec * 48000 // n * n) \
+        + one * (fsec * 48000 // n)
+    df_src = rng.integers(0, 256, fsec * 6000, dtype=np.uint8).tobytes()
+    wav_src = _ima_wav(fsec)
+    sources = []
+    for i in range(fstations):
+        sources.append([fl_src, (LaneSpec("dfpwm", 48000), df_src),
+                        wav_src][i % 3])
+    facade = Fleet(sources)
+    t0 = time.time()
+    while not facade.done:
+        facade.step()
+    dt = time.time() - t0
+    lines.append({
+        "metric": "fleet_facade_realtime",
+        "value": round(facade.metrics.samples_decoded / dt / 48000, 1),
+        "unit": "x_realtime", "vs_baseline": None,
+        "note": f"{fstations} mixed stations (FLAC + raw DFPWM + IMA-WAV) "
+                "behind the one Fleet dispatch surface; end-to-end incl. "
+                "container bridging, both engines and host window merge — "
+                "tunnel-bound here like the engine lines"})
+
     # config 8: staging microbench (VERDICT r2 item 8): column-view chunk
     # assembly with NO device transfer, then the transfer alone — separates
     # host staging cost from the tunnel/PCIe so the engine numbers above can

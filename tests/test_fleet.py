@@ -246,3 +246,63 @@ def test_fleet_facade_channel_capacity_mismatch():
     w1, m1, _ = f1.step()
     assert w1.shape[1] == 1 and m1[0]
     np.testing.assert_array_equal(w1[0, 0], w[0, 0])
+
+
+def test_fleet_facade_station_iterator_playback():
+    """station_iterator feeds playback.play — the one-liner path from a
+    facade station to sinks."""
+    from aukit_tpu.playback import BufferSink, play
+
+    rate = 24000
+    sig = (np.sin(np.arange(rate) / 9.0) * 20000).astype(np.int16)
+    wav = ak.tone(330, 1.0, 0.5, "sine", sample_rate=rate).wav(16)
+    f = Fleet([wav])
+    sink = BufferSink()
+    play(f.station_iterator(0), sink)
+    out = sink.samples()
+    assert len(out) >= 47000 and np.abs(out).max() > 20
+
+
+def test_fleet_facade_poisoned_flac_station_isolated(monkeypatch):
+    """§5.3 isolation through the facade: a FLAC station fed garbage after
+    a valid magic poisons (undecodable-stream stall bound) without stalling
+    the healthy stations, and the fleet completes."""
+    import aukit_tpu.stream.flac_fleet as ff
+
+    monkeypatch.setattr(ff, "_PULL_STALL_LIMIT", 100_000)
+    healthy = make_flac(48000, 4, seed=97)
+    # valid fLaC magic + STREAMINFO, then garbage that never forms a frame;
+    # the stream stays LIVE (no EOF) so the undecodable stall bound trips
+    # (an EOF'd garbage stream instead ends silently — reference pcall
+    # semantics)
+    bad_head = healthy[:50]
+    garbage = bytes(RNG.integers(0, 255, 400_000, dtype=np.uint8))
+    f = Fleet([bad_head, healthy], eof=False)
+    f.feed(1, None)
+    f.feed(0, garbage[:200_000])
+    outs = [[] for _ in range(2)]
+    r0 = f.step()  # healthy station may emit right here (short stream)
+    if r0 is not None:
+        for i in range(2):
+            if r0[1][i]:
+                outs[i].append(r0[0][i])
+    f.feed(0, garbage[200_000:])  # grows past the stall limit, no commit
+    guard = 0
+    while not f.done:
+        r = f.step()
+        guard += 1
+        assert guard < 1000
+        if r is None:
+            if f.stations[0].kind == "flac" and f.flac.done and                     (f.engine is None or f.engine.done):
+                break
+            continue
+        w, m, _ = r
+        for i in range(2):
+            if m[i]:
+                outs[i].append(w[i])
+    assert f.station_error(0) is not None          # poisoned, with a reason
+    assert "undecodable" in f.station_error(0)
+    assert f.station_error(1) is None
+    got = np.concatenate(outs[1], axis=-1)
+    exp = np.clip(solo_reference(healthy), -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(got[: len(exp)], exp)
