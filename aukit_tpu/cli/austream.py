@@ -234,6 +234,66 @@ def progress_bar(length: float):
     return cb
 
 
+def _fleet_source(path: str, v: dict):
+    """One Fleet station for a path: raw/headerless formats map through the
+    params (the dispatch table's extension rules); containers auto-detect."""
+    from aukit_tpu.stream.batch import LaneSpec
+
+    data = open_source(path, False)
+    if callable(data):
+        raise SystemExit("--fleet requires preloadable sources")
+    p = path.lower()
+    t = v.get("type")
+    if t == "dfpwm" or p.endswith(".dfpwm"):
+        return (LaneSpec("dfpwm", v.get("sampleRate", 48000), 1), data)
+    if t == "pcm" or p.endswith((".pcm", ".raw")):
+        codec = {(8, "signed"): "pcm8", (8, "unsigned"): "pcm8u",
+                 (16, "signed"): "pcm16", (24, "signed"): "pcm24",
+                 (32, "signed"): "pcm32", (32, "float"): "f32"}.get(
+            (v.get("bitDepth", 8), v.get("dataType", "signed")))
+        if codec is None:
+            raise SystemExit("unsupported pcm params for --fleet")
+        if v.get("bigEndian", False) and codec not in ("pcm8", "pcm8u"):
+            codec += "be"
+        return (LaneSpec(codec, v.get("sampleRate", 48000),
+                         v.get("channels", 1)), data)
+    return data  # containers (wav/aiff/au/flac/qoa/mdfpwm) auto-detect
+
+
+def _fleet_main(args, v: dict, mono: bool):
+    """--fleet: every path becomes a batched Fleet station; params'
+    ``volume=`` drives the per-station DECODE-side gain (the batched analog
+    of speaker volume, applied inside the fused kernel epilogue / DSP scale
+    stages), and playback fans stations across sinks via play_fleet."""
+    from aukit_tpu.playback import play_fleet
+    from aukit_tpu.stream.fleet import Fleet
+
+    from .auplay import make_sink
+
+    paths = [args.path] + list(args.fleet)
+    fleet = Fleet([_fleet_source(p, v) for p in paths], mono=mono,
+                  interpolation=v.get("interpolation"))
+    if "volume" in v:
+        for i in range(len(paths)):
+            fleet.set_volume(i, float(v["volume"]))
+    sinks = [make_sink(args.out if i == 0 else None, args.realtime)
+             for i in range(len(paths))]
+    print(f"Streaming {len(paths)} stations...")
+    last = {}
+
+    def progress(i, pos):
+        last[i] = pos
+        sys.stdout.write(f"\rstations at " + " ".join(
+            f"{last.get(k, 0.0):5.1f}s" for k in range(len(paths))))
+        sys.stdout.flush()
+
+    play_fleet(fleet, sinks, progress=progress)
+    print()
+    errs = [p for i, p in enumerate(paths) if fleet.station_error(i)]
+    if errs:
+        print("undecodable stations:", ", ".join(errs))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="austream", description="Stream audio (AUKit austream equivalent)")
     ap.add_argument("path", help="file path, http(s) URL, or - for stdin")
@@ -242,6 +302,11 @@ def main(argv=None):
     ap.add_argument("--speakers", type=int, default=1, help="number of output sinks (channels fan out)")
     ap.add_argument("--realtime", action="store_true")
     ap.add_argument("--trace", metavar="DIR", help="write a jax.profiler trace to DIR")
+    ap.add_argument("--fleet", nargs="+", metavar="PATH", default=None,
+                    help="additional sources: decode ALL paths concurrently "
+                         "through the batched Fleet (one station per path; "
+                         "params' volume= drives the per-station decode-side "
+                         "gain; -o captures station 0)")
     args = ap.parse_args(argv)
 
     import aukit_tpu as ak
@@ -252,6 +317,8 @@ def main(argv=None):
     mono = bool(v.get("mono", args.speakers == 1))
     if "interpolation" in v:
         CONFIG.default_interpolation = v["interpolation"]
+    if args.fleet is not None:
+        return _fleet_main(args, v, mono)
     data = open_source(args.path, bool(v.get("streamData", False)))
     it, length = dispatch(args.path, data, v, mono)
     length = length or 0
