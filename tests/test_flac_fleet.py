@@ -834,3 +834,19 @@ def test_fleet_device_dsp_checkpoint_into_host():
     # tail additionally carries the f32-rounded carried state — both stay
     # within the documented tolerance of the all-host run
     np.testing.assert_allclose(resumed, full[0], atol=5e-3)
+
+
+def test_fleet_three_channel_independent_subframes():
+    """FLAC beyond stereo: 3 independent-channel frames (chan_asgn <= 7)
+    through the fleet — mono mix matches solo, and a mono=False channels=3
+    fleet is BIT-equal per channel to solo stream.flac(mono=False)."""
+    data = make_flac(44100, 6, channels=3, chan_asgn=2, seed=99)
+    outs, _ = run_fleet([data])
+    assert_lane_equals_solo(outs[0], data)
+
+    fleet = FlacFleet(1, mono=False, channels=3)
+    got = run_fleet_mc([data], fleet)[0]
+    exp = solo_reference_mc(data)
+    assert got.shape[0] == 3
+    np.testing.assert_array_equal(got[:, : exp.shape[1]], exp)
+    assert not np.array_equal(exp[0], exp[1])
