@@ -71,25 +71,42 @@ def _decode_kernel(nvalid_ref, bytes_ref, state_in_ref, out_ref, state_out_ref, 
     def _():
         st[:] = state_in_ref[0]
 
-    def body(i, carry):
+    def body(i, carry, guarded: bool):
         q, s, lb, pq, lp = carry
         rows = []
         for u in range(UNROLL):
             byte = bytes_ref[0, i * UNROLL + u].astype(jnp.int32)
             nq, ns, nlb, npq, nlp = _decode_tile(byte, q, s, lb, pq, lp, rows)
-            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
-            q = jnp.where(valid, nq, q)
-            s = jnp.where(valid, ns, s)
-            lb = jnp.where(valid, nlb, lb)
-            pq = jnp.where(valid, npq, pq)
-            lp = jnp.where(valid, nlp, lp)
+            if guarded:
+                valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+                q = jnp.where(valid, nq, q)
+                s = jnp.where(valid, ns, s)
+                lb = jnp.where(valid, nlb, lb)
+                pq = jnp.where(valid, npq, pq)
+                lp = jnp.where(valid, nlp, lp)
+            else:  # fully-valid tile: tail-freeze selects elided
+                q, s, lb, pq, lp = nq, ns, nlb, npq, nlp
         out_ref[0, pl.ds(i * UNROLL * 8, UNROLL * 8)] = jnp.stack(rows).astype(jnp.int8)
         return (q, s, lb, pq, lp)
 
-    init = (st[0], st[1], st[2], st[3], st[4])
-    q, s, lb, pq, lp = jax.lax.fori_loop(0, bytes_ref.shape[1] // UNROLL, body, init)
-    st[0], st[1], st[2], st[3], st[4] = q, s, lb, pq, lp
-    state_out_ref[0] = jnp.stack([q, s, lb, pq, lp])
+    nt = bytes_ref.shape[1] // UNROLL
+    # valid-mask selects exist only to freeze state at the nvalid boundary;
+    # tiles strictly before it run select-free (msadpcm fast-tile split)
+    @pl.when((t + 1) * TIME_TILE <= nvalid)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=False),
+            (st[0], st[1], st[2], st[3], st[4]))
+        st[0], st[1], st[2], st[3], st[4] = carry
+
+    @pl.when((t + 1) * TIME_TILE > nvalid)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=True),
+            (st[0], st[1], st[2], st[3], st[4]))
+        st[0], st[1], st[2], st[3], st[4] = carry
+
+    state_out_ref[0] = jnp.stack([st[0], st[1], st[2], st[3], st[4]])
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -162,18 +179,21 @@ def _decode_dsp_kernel(with_gain, nvalid_ref, alpha_ref, bytes_ref,
         f = v.astype(jnp.float32)
         return f / jnp.where(v < 0, 128.0, 127.0)
 
-    def body(i, carry):
+    def body(i, carry, guarded: bool):
         q, s, lb, pq, lp = carry
         rows = []
         for u in range(UNROLL):
             byte = bytes_ref[0, i * UNROLL + u].astype(jnp.int32)
             nq, ns, nlb, npq, nlp = _decode_tile(byte, q, s, lb, pq, lp, rows)
-            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
-            q = jnp.where(valid, nq, q)
-            s = jnp.where(valid, ns, s)
-            lb = jnp.where(valid, nlb, lb)
-            pq = jnp.where(valid, npq, pq)
-            lp = jnp.where(valid, nlp, lp)
+            if guarded:
+                valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+                q = jnp.where(valid, nq, q)
+                s = jnp.where(valid, ns, s)
+                lb = jnp.where(valid, nlb, lb)
+                pq = jnp.where(valid, npq, pq)
+                lp = jnp.where(valid, nlp, lp)
+            else:  # fully-valid tile: tail-freeze selects elided
+                q, s, lb, pq, lp = nq, ns, nlb, npq, nlp
         prevf = norm(carry[4])  # raw sample before this iteration's 16
         live = mask_ref[0, 0] != 0
         if with_gain:
@@ -193,10 +213,24 @@ def _decode_dsp_kernel(with_gain, nvalid_ref, alpha_ref, bytes_ref,
         out_ref[0, pl.ds(i * UNROLL * 8, UNROLL * 8)] = jnp.stack(outs)
         return (q, s, lb, pq, lp)
 
-    init = (st[0], st[1], st[2], st[3], st[4])
-    q, s, lb, pq, lp = jax.lax.fori_loop(0, bytes_ref.shape[1] // UNROLL, body, init)
-    st[0], st[1], st[2], st[3], st[4] = q, s, lb, pq, lp
-    state_out_ref[0] = jnp.stack([q, s, lb, pq, lp])
+    nt = bytes_ref.shape[1] // UNROLL
+    # the msadpcm fast-tile split: tiles strictly before the nvalid boundary
+    # run the select-free body
+    @pl.when((t + 1) * TIME_TILE <= nvalid)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=False),
+            (st[0], st[1], st[2], st[3], st[4]))
+        st[0], st[1], st[2], st[3], st[4] = carry
+
+    @pl.when((t + 1) * TIME_TILE > nvalid)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=True),
+            (st[0], st[1], st[2], st[3], st[4]))
+        st[0], st[1], st[2], st[3], st[4] = carry
+
+    state_out_ref[0] = jnp.stack([st[0], st[1], st[2], st[3], st[4]])
 
 
 @functools.partial(jax.jit, static_argnums=(2, 6))
@@ -259,7 +293,7 @@ def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref,
     def _():
         st[:] = state_in_ref[0]
 
-    def body(i, carry):
+    def body(i, carry, guarded: bool):
         q0, s0, lb0 = carry
         q, s, lb = q0, s0, lb0
         levels = levels_ref[0, pl.ds(i * 8, 8)].astype(jnp.int32)  # [8, SUB, LANE]
@@ -281,6 +315,8 @@ def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref,
             lb = bit
             byte = byte | (bit << k)
         out_ref[0, i] = byte.astype(jnp.uint8)
+        if not guarded:  # fully-valid tile: tail-freeze selects elided
+            return (q, s, lb)
         valid = (t * TIME_TILE + i) < nvalid
         return (
             jnp.where(valid, q, q0),
@@ -288,10 +324,24 @@ def _encode_kernel(nvalid_ref, levels_ref, state_in_ref, out_ref, state_out_ref,
             jnp.where(valid, lb, lb0),
         )
 
-    init = (st[0], st[1], st[2])
-    q, s, lb = jax.lax.fori_loop(0, out_ref.shape[1], body, init)
-    st[0], st[1], st[2] = q, s, lb
-    state_out_ref[0] = jnp.stack([q, s, lb])
+    nb = out_ref.shape[1]
+    # the msadpcm fast-tile split: tiles strictly before the nvalid boundary
+    # run the select-free body
+    @pl.when((t + 1) * TIME_TILE <= nvalid)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nb, functools.partial(body, guarded=False),
+            (st[0], st[1], st[2]))
+        st[0], st[1], st[2] = carry
+
+    @pl.when((t + 1) * TIME_TILE > nvalid)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nb, functools.partial(body, guarded=True),
+            (st[0], st[1], st[2]))
+        st[0], st[1], st[2] = carry
+
+    state_out_ref[0] = jnp.stack([st[0], st[1], st[2]])
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

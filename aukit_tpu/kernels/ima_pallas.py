@@ -46,7 +46,7 @@ def _ima_kernel(nvalid_ref, tbl_ref, nib_ref, state_ref, out_ref, state_out_ref,
 
     tbl = tbl_ref[...]
 
-    def body(i, carry):
+    def body(i, carry, guarded: bool):
         pred, sidx = carry
         nibs = nib_ref[0, pl.ds(i * UNROLL, UNROLL)].astype(jnp.int32)
         outs = []
@@ -62,16 +62,32 @@ def _ima_kernel(nvalid_ref, tbl_ref, nib_ref, state_ref, out_ref, state_out_ref,
             diff = ((m * step) >> 2) + (step >> 3)
             npred = jnp.clip(jnp.where(nib >= 8, pred - diff, pred + diff), -32768, 32767)
             outs.append(npred.astype(jnp.int16))
-            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
-            pred = jnp.where(valid, npred, pred)
-            sidx = jnp.where(valid, nsidx, sidx)
+            if guarded:
+                valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+                pred = jnp.where(valid, npred, pred)
+                sidx = jnp.where(valid, nsidx, sidx)
+            else:  # fully-valid tile: tail-freeze selects elided
+                pred, sidx = npred, nsidx
         out_ref[0, pl.ds(i * UNROLL, UNROLL)] = jnp.stack(outs)
         return (pred, sidx)
 
-    init = (st[0], st[1])
-    pred, sidx = jax.lax.fori_loop(0, nib_ref.shape[1] // UNROLL, body, init)
-    st[0], st[1] = pred, sidx
-    state_out_ref[0] = jnp.stack([pred, sidx])
+    nt = nib_ref.shape[1] // UNROLL
+    # the valid-mask selects exist only to freeze state at the nvalid
+    # boundary; tiles strictly before it run the select-free body (the
+    # msadpcm_pallas fast-tile split: +9% device throughput there)
+    @pl.when((t + 1) * TIME_TILE <= nvalid)
+    def _():
+        pred, sidx = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=False), (st[0], st[1]))
+        st[0], st[1] = pred, sidx
+
+    @pl.when((t + 1) * TIME_TILE > nvalid)
+    def _():
+        pred, sidx = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=True), (st[0], st[1]))
+        st[0], st[1] = pred, sidx
+
+    state_out_ref[0] = jnp.stack([st[0], st[1]])
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

@@ -56,7 +56,7 @@ def _ms_kernel(nvalid_ref, nib_ref, state_ref, coef_ref, out_ref, state_out_ref,
     c1 = coef_ref[0, 0]
     c2 = coef_ref[0, 1]
 
-    def body(i, carry):
+    def body(i, carry, guarded: bool):
         s1, s2, delta = carry
         nibs = nib_ref[0, pl.ds(i * UNROLL, UNROLL)].astype(jnp.int32)
         outs = []
@@ -67,19 +67,37 @@ def _ms_kernel(nvalid_ref, nib_ref, state_ref, coef_ref, out_ref, state_out_ref,
             outs.append(pred.astype(jnp.int16))
             m = jnp.abs(nib)
             ndelta = jnp.clip((_adapt(nib, m) * delta) >> 8, 16, _DELTA_CAP)
-            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
-            s1, s2, delta = (
-                jnp.where(valid, pred, s1),
-                jnp.where(valid, s1, s2),
-                jnp.where(valid, ndelta, delta),
-            )
+            if guarded:
+                valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+                s1, s2, delta = (
+                    jnp.where(valid, pred, s1),
+                    jnp.where(valid, s1, s2),
+                    jnp.where(valid, ndelta, delta),
+                )
+            else:  # fully-valid tile: no tail to freeze, selects elided
+                s1, s2, delta = pred, s1, ndelta
         out_ref[0, pl.ds(i * UNROLL, UNROLL)] = jnp.stack(outs)
         return (s1, s2, delta)
 
-    init = (st[0], st[1], st[2])
-    s1, s2, delta = jax.lax.fori_loop(0, nib_ref.shape[1] // UNROLL, body, init)
-    st[0], st[1], st[2] = s1, s2, delta
-    state_out_ref[0] = jnp.stack([s1, s2, delta])
+    nt = nib_ref.shape[1] // UNROLL
+    # the valid-mask selects exist only to freeze state at the nvalid
+    # boundary; every tile strictly before it runs the select-free body
+    # (3 fewer [32,128] selects per sample — the common whole-tile case)
+    @pl.when((t + 1) * TIME_TILE <= nvalid)
+    def _():
+        init = (st[0], st[1], st[2])
+        s1, s2, delta = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=False), init)
+        st[0], st[1], st[2] = s1, s2, delta
+
+    @pl.when((t + 1) * TIME_TILE > nvalid)
+    def _():
+        init = (st[0], st[1], st[2])
+        s1, s2, delta = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=True), init)
+        st[0], st[1], st[2] = s1, s2, delta
+
+    state_out_ref[0] = jnp.stack([st[0], st[1], st[2]])
 
 
 @functools.partial(jax.jit, static_argnums=(4,))

@@ -45,7 +45,7 @@ def _qoa_kernel(nvalid_ref, dq_ref, state_ref, out_ref, state_out_ref, st):
     def _():
         st[:] = state_ref[0]
 
-    def body(i, carry):
+    def body(i, carry, guarded: bool):
         h0, h1, h2, h3, w0, w1, w2, w3 = carry
         dqs = dq_ref[0, pl.ds(i * UNROLL, UNROLL)].astype(jnp.int32)
         outs = []
@@ -59,25 +59,46 @@ def _qoa_kernel(nvalid_ref, dq_ref, state_ref, out_ref, state_out_ref, st):
             nw1 = w1 + jnp.where(h1 < 0, -delta, delta)
             nw2 = w2 + jnp.where(h2 < 0, -delta, delta)
             nw3 = w3 + jnp.where(h3 < 0, -delta, delta)
-            valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
-            h0, h1, h2, h3, w0, w1, w2, w3 = (
-                jnp.where(valid, h1, h0),
-                jnp.where(valid, h2, h1),
-                jnp.where(valid, h3, h2),
-                jnp.where(valid, recon, h3),
-                jnp.where(valid, nw0, w0),
-                jnp.where(valid, nw1, w1),
-                jnp.where(valid, nw2, w2),
-                jnp.where(valid, nw3, w3),
-            )
+            if guarded:
+                valid = (t * TIME_TILE + i * UNROLL + u) < nvalid
+                h0, h1, h2, h3, w0, w1, w2, w3 = (
+                    jnp.where(valid, h1, h0),
+                    jnp.where(valid, h2, h1),
+                    jnp.where(valid, h3, h2),
+                    jnp.where(valid, recon, h3),
+                    jnp.where(valid, nw0, w0),
+                    jnp.where(valid, nw1, w1),
+                    jnp.where(valid, nw2, w2),
+                    jnp.where(valid, nw3, w3),
+                )
+            else:  # fully-valid tile: 8 tail-freeze selects elided per sample
+                h0, h1, h2, h3 = h1, h2, h3, recon
+                w0, w1, w2, w3 = nw0, nw1, nw2, nw3
         out_ref[0, pl.ds(i * UNROLL, UNROLL)] = jnp.stack(outs)
         return (h0, h1, h2, h3, w0, w1, w2, w3)
 
-    init = tuple(st[i] for i in range(8))
-    carry = jax.lax.fori_loop(0, dq_ref.shape[1] // UNROLL, body, init)
-    for i in range(8):
-        st[i] = carry[i]
-    state_out_ref[0] = jnp.stack(carry)
+    nt = dq_ref.shape[1] // UNROLL
+    # the valid-mask selects exist only to freeze the 8-word LMS state at
+    # the nvalid boundary — the heaviest masking tax of the codec kernels
+    # (8 of ~32 ops/sample); tiles strictly before the boundary run the
+    # select-free body (the msadpcm_pallas fast-tile split)
+    @pl.when((t + 1) * TIME_TILE <= nvalid)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=False),
+            tuple(st[i] for i in range(8)))
+        for i in range(8):
+            st[i] = carry[i]
+
+    @pl.when((t + 1) * TIME_TILE > nvalid)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=True),
+            tuple(st[i] for i in range(8)))
+        for i in range(8):
+            st[i] = carry[i]
+
+    state_out_ref[0] = jnp.stack([st[i] for i in range(8)])
 
 
 @functools.partial(jax.jit, static_argnums=(3,))

@@ -322,3 +322,55 @@ def test_ima_kernel_out_of_range_step_index_defined():
             exp[l, t] = p
     got, _ = ima_decode_pallas(nib, pred0, sidx_bad, interpret=True)
     np.testing.assert_array_equal(np.asarray(got), exp)
+
+
+def test_fast_tile_split_nvalid_boundaries():
+    """Round-4 fast-tile split: every codec kernel elides the tail-freeze
+    selects on fully-valid tiles (pl.when branch). Pin that outputs over the
+    valid prefix and the carried state are IDENTICAL across nvalid placements
+    (tile-aligned, mid-tile, mid-unroll) vs a full decode."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+
+    # DFPWM: nvalid in bytes, TIME_TILE 128
+    xb = jnp.asarray(rng.integers(0, 256, (1, 256, 32, 128)).astype(np.uint8))
+    st0 = jnp.zeros((1, 5, 32, 128), jnp.int32)
+    full, _ = kp.dfpwm_decode_grouped(xb, st0, jnp.full((1,), 256, jnp.int32),
+                                      True)
+    for nv in (128, 129, 200, 255):
+        part, stp = kp.dfpwm_decode_grouped(
+            xb, st0, jnp.full((1,), nv, jnp.int32), True)
+        np.testing.assert_array_equal(np.asarray(part)[:, : nv * 8],
+                                      np.asarray(full)[:, : nv * 8])
+        # frozen state == state after decoding exactly nv bytes
+        _, st_ref = kp.dfpwm_decode_grouped(
+            xb[:, :nv] if nv % kp.TIME_TILE == 0 else
+            jnp.pad(xb[:, :nv], ((0, 0), (0, (-nv) % kp.TIME_TILE),
+                                 (0, 0), (0, 0))),
+            st0, jnp.full((1,), nv, jnp.int32), True)
+        np.testing.assert_array_equal(np.asarray(stp), np.asarray(st_ref))
+
+    # IMA / MS-ADPCM / QOA: nvalid in samples
+    from aukit_tpu.kernels import ima_pallas as ip
+    from aukit_tpu.kernels import msadpcm_pallas as mp2
+    from aukit_tpu.kernels import qoa_pallas as qp
+
+    xi = jnp.asarray(rng.integers(0, 16, (1, 1024, 32, 128)).astype(np.int8))
+    sti = jnp.zeros((1, 2, 32, 128), jnp.int32)
+    fi, _ = ip.ima_decode_grouped(xi, sti, jnp.full((1,), 1024, jnp.int32), True)
+    pi, _ = ip.ima_decode_grouped(xi, sti, jnp.full((1,), 600, jnp.int32), True)
+    np.testing.assert_array_equal(np.asarray(pi)[:, :600], np.asarray(fi)[:, :600])
+
+    xm = jnp.asarray(rng.integers(-8, 8, (1, 1024, 32, 128)).astype(np.int8))
+    stm = jnp.zeros((1, 3, 32, 128), jnp.int32).at[:, 2].set(64)
+    com = jnp.zeros((1, 2, 32, 128), jnp.int32).at[:, 0].set(256)
+    fm, _ = mp2.msadpcm_decode_grouped(xm, stm, com, jnp.full((1,), 1024, jnp.int32), True)
+    pm, _ = mp2.msadpcm_decode_grouped(xm, stm, com, jnp.full((1,), 600, jnp.int32), True)
+    np.testing.assert_array_equal(np.asarray(pm)[:, :600], np.asarray(fm)[:, :600])
+
+    xq = jnp.asarray(rng.integers(-14000, 14000, (1, 512, 32, 128)).astype(np.int16))
+    stq = jnp.zeros((1, 8, 32, 128), jnp.int32)
+    fq, _ = qp.qoa_lms_grouped(xq, stq, jnp.full((1,), 512, jnp.int32), True)
+    pq, _ = qp.qoa_lms_grouped(xq, stq, jnp.full((1,), 300, jnp.int32), True)
+    np.testing.assert_array_equal(np.asarray(pq)[:, :300], np.asarray(fq)[:, :300])
