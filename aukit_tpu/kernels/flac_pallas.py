@@ -53,7 +53,8 @@ UNROLL = 8  # samples per loop iteration. Device-profiled (v5e, order 8,
 assert TIME_TILE % UNROLL == 0  # fori_loop count floors; a non-divisor would drop samples
 
 
-def _lpc_kernel(K, vals_ref, meta_ref, coef_ref, out_ref, win):
+def _lpc_kernel(K, bounds_ref, vals_ref, meta_ref, coef_ref, out_ref, win):
+    g = pl.program_id(0)
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -63,6 +64,7 @@ def _lpc_kernel(K, vals_ref, meta_ref, coef_ref, out_ref, win):
     order = meta_ref[0, 0]
     shift = meta_ref[0, 1]
     block = meta_ref[0, 2]
+    haspred = order > 0  # loop-invariant: hoisted out of the sample loop
     sa = jnp.clip(15 - shift, 0, 31)  # s <= 15 branch (incl. negative s)
     sb = jnp.clip(shift, 0, 15)
     sc = jnp.clip(shift - 15, 0, 31)
@@ -72,7 +74,7 @@ def _lpc_kernel(K, vals_ref, meta_ref, coef_ref, out_ref, win):
     # the order-K window rides the carry as K NAMED registers (the QOA-kernel
     # pattern): shifting the window is trace-time renaming, where a stacked
     # [K, 32, 128] array cost K tile copies per sample (measured ~2x)
-    def body(i, carry):
+    def body(i, carry, guarded: bool):
         outs = []
         for u in range(UNROLL):
             a = t * TIME_TILE + i * UNROLL + u
@@ -92,17 +94,37 @@ def _lpc_kernel(K, vals_ref, meta_ref, coef_ref, out_ref, win):
             rl = rl & 0x7FFF
             p_low = (tp << sa) + jnp.where(shift >= 0, rl >> sb, rl << sd)
             pred = jnp.where(shift > 15, tp >> sc, p_low)
-            upd = (a >= order) & (a < block) & (order > 0)
+            if guarded:
+                upd = (a >= order) & (a < block) & haspred
+            else:
+                # fast tile: every sample index is >= the group's max order
+                # and < its min block, so only the per-lane haspred remains
+                upd = haspred
             vnew = jnp.where(upd, res + pred, res)
             outs.append(vnew)
             carry = (vnew,) + carry[:-1]
         out_ref[0, pl.ds(i * UNROLL, UNROLL)] = jnp.stack(outs)
         return carry
 
-    init = tuple(win[j] for j in range(K))
-    carry = jax.lax.fori_loop(0, TIME_TILE // UNROLL, body, init)
-    for j in range(K):
-        win[j] = carry[j]
+    nt = TIME_TILE // UNROLL
+    fast = ((t * TIME_TILE >= bounds_ref[g, 1])
+            & ((t + 1) * TIME_TILE <= bounds_ref[g, 0]))
+
+    @pl.when(fast)
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=False),
+            tuple(win[j] for j in range(K)))
+        for j in range(K):
+            win[j] = carry[j]
+
+    @pl.when(jnp.logical_not(fast))
+    def _():
+        carry = jax.lax.fori_loop(
+            0, nt, functools.partial(body, guarded=True),
+            tuple(win[j] for j in range(K)))
+        for j in range(K):
+            win[j] = carry[j]
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
@@ -115,10 +137,19 @@ def lpc_restore_grouped(vals_gm, meta_gm, coef_gm, K: int, interpret: bool = Fal
     returns : int32[G, T, 32, 128] restored samples
     """
     G, T = vals_gm.shape[0], vals_gm.shape[1]
+    # per-group fast-tile bounds: tiles past every lane's order and inside
+    # every predictive lane's block run a select-cheap body (rows whose
+    # order is 0 — verbatim/constant/padding — never update, so their block
+    # is excluded from the min)
+    order_pl = meta_gm[:, 0]
+    blocks_eff = jnp.where(order_pl > 0, meta_gm[:, 2], jnp.iinfo(jnp.int32).max)
+    bounds = jnp.stack([jnp.min(blocks_eff, axis=(1, 2)),
+                        jnp.max(order_pl, axis=(1, 2))], axis=1)  # [G, 2]
     return pl.pallas_call(
         functools.partial(_lpc_kernel, K),
         grid=(G, T // TIME_TILE),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, TIME_TILE, SUB, LANE), lambda g, t: (g, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, K, SUB, LANE), lambda g, t: (g, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -130,7 +161,7 @@ def lpc_restore_grouped(vals_gm, meta_gm, coef_gm, K: int, interpret: bool = Fal
             dimension_semantics=("parallel", "arbitrary")
         ),
         interpret=interpret,
-    )(vals_gm, meta_gm, coef_gm)
+    )(bounds, vals_gm, meta_gm, coef_gm)
 
 
 def _order_bucket(max_order: int) -> int:
