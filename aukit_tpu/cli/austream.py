@@ -245,12 +245,15 @@ def _fleet_source(path: str, v: dict):
     p = path.lower()
     t = v.get("type")
     if t == "dfpwm" or p.endswith(".dfpwm"):
+        if v.get("channels", 1) != 1:
+            raise SystemExit("dfpwm fleet stations are mono; use one "
+                             "station per channel")
         return (LaneSpec("dfpwm", v.get("sampleRate", 48000), 1), data)
     if t == "pcm" or p.endswith((".pcm", ".raw")):
-        codec = {(8, "signed"): "pcm8", (8, "unsigned"): "pcm8u",
-                 (16, "signed"): "pcm16", (24, "signed"): "pcm24",
-                 (32, "signed"): "pcm32", (32, "float"): "f32"}.get(
-            (v.get("bitDepth", 8), v.get("dataType", "signed")))
+        from aukit_tpu.stream.fleet import _PCM_CODEC
+
+        codec = _PCM_CODEC.get((v.get("dataType", "signed"),
+                                v.get("bitDepth", 8)))
         if codec is None:
             raise SystemExit("unsupported pcm params for --fleet")
         if v.get("bigEndian", False) and codec not in ("pcm8", "pcm8u"):
@@ -272,11 +275,17 @@ def _fleet_main(args, v: dict, mono: bool):
 
     paths = [args.path] + list(args.fleet)
     fleet = Fleet([_fleet_source(p, v) for p in paths], mono=mono,
+                  channels=max(1, args.speakers),
                   interpolation=v.get("interpolation"))
     if "volume" in v:
         for i in range(len(paths)):
             fleet.set_volume(i, float(v["volume"]))
-    sinks = [make_sink(args.out if i == 0 else None, args.realtime)
+    # --speakers sinks PER STATION (play_fleet fans window channels across
+    # the tuple, matching the non-fleet path's speaker fan-out); -o captures
+    # station 0 channel 0
+    sinks = [tuple(make_sink(args.out if i == 0 and j == 0 else None,
+                             args.realtime)
+                   for j in range(max(1, args.speakers)))
              for i in range(len(paths))]
     print(f"Streaming {len(paths)} stations...")
     last = {}
@@ -287,7 +296,13 @@ def _fleet_main(args, v: dict, mono: bool):
             f"{last.get(k, 0.0):5.1f}s" for k in range(len(paths))))
         sys.stdout.flush()
 
-    play_fleet(fleet, sinks, progress=progress)
+    import contextlib
+
+    from aukit_tpu.utils.trace import trace_session
+
+    ctx = trace_session(args.trace) if args.trace else contextlib.nullcontext()
+    with ctx:
+        play_fleet(fleet, sinks, progress=progress)
     print()
     errs = [p for i, p in enumerate(paths) if fleet.station_error(i)]
     if errs:

@@ -100,6 +100,21 @@ def play_fleet(source, sinks, volume=None, progress=None, drop: bool = False,
     n = len(per_station)
     queues = [_q.Queue(maxsize=max(1, queue_windows)) for _ in range(n)]
     stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def _force_put(q, item):
+        """Deliver without ever blocking: drop-oldest on a full queue (used
+        for sentinels always, and for audio in drop mode — a stuck consumer
+        must never wedge the producer)."""
+        while True:
+            try:
+                q.put_nowait(item)
+                return
+            except _q.Full:
+                try:
+                    q.get_nowait()
+                except _q.Empty:
+                    pass
 
     def producer():
         try:
@@ -119,33 +134,57 @@ def play_fleet(source, sinks, volume=None, progress=None, drop: bool = False,
                         progress(i, float(positions[i]))
                     item = host[i]
                     if drop:
-                        while True:
-                            try:
-                                queues[i].put_nowait(item)
-                                break
-                            except _q.Full:  # drop-oldest: never stall
-                                try:
-                                    queues[i].get_nowait()
-                                except _q.Empty:
-                                    pass
+                        _force_put(queues[i], item)
                     else:
-                        queues[i].put(item)
+                        while not stop.is_set():
+                            try:
+                                queues[i].put(item, timeout=0.5)
+                                break
+                            except _q.Full:
+                                continue  # re-check stop: a dead consumer's
+                                # queue must not wedge the fleet forever
+        except BaseException as e:  # surfaced to the caller after joins
+            errors.append(e)
+            stop.set()
         finally:
             for q in queues:
-                q.put(None)
+                # let a live consumer drain its backlog first; only a truly
+                # wedged one has its items displaced so the sentinel lands
+                for _ in range(20):
+                    try:
+                        q.put(None, timeout=0.5)
+                        break
+                    except _q.Full:
+                        continue
+                else:
+                    _force_put(q, None)
 
     def consumer(i: int):
         my_sinks = per_station[i]
-        while True:
-            item = queues[i].get()
-            if item is None:
-                return
-            chunk = np.atleast_2d(item)
-            for piece in _split_chunks(chunk):
-                for j, sink in enumerate(my_sinks):
-                    ch = piece[j] if j < piece.shape[0] else piece[0]
-                    while not sink.play_audio(ch, volume) and not stop.is_set():
-                        sink.wait_drain(timeout=1.0)
+        try:
+            while True:
+                item = queues[i].get()
+                if item is None:
+                    return
+                chunk = np.atleast_2d(item)
+                for piece in _split_chunks(chunk):
+                    for j, sink in enumerate(my_sinks):
+                        ch = piece[j] if j < piece.shape[0] else piece[0]
+                        tries = 0
+                        while not sink.play_audio(ch, volume) \
+                                and not stop.is_set():
+                            sink.wait_drain(timeout=1.0)
+                            tries += 1
+                            if drop and tries >= 3:
+                                break  # drop semantics extend to the sink:
+                                # a refusing speaker loses this piece rather
+                                # than wedging the station (and the joins)
+        except BaseException as e:  # a raising sink must not hang the fleet:
+            errors.append(e)  # keep draining so the producer never blocks
+            while True:
+                item = queues[i].get()
+                if item is None:
+                    return
 
     threads = [threading.Thread(target=producer, daemon=True)]
     threads += [threading.Thread(target=consumer, args=(i,), daemon=True)
@@ -157,6 +196,8 @@ def play_fleet(source, sinks, volume=None, progress=None, drop: bool = False,
             t.join()
     finally:
         stop.set()
+    if errors:
+        raise errors[0]
 
 
 class Player:

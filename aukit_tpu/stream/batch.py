@@ -785,8 +785,16 @@ class BatchStreamEngine:
         ``playback.play`` / ``playback.player`` (with ``mono=False`` each
         chunk is [C, T]: sink i receives channel i, the reference fan-out,
         aukit.lua:1929-1940). NOTE: iterating advances the WHOLE engine; use
-        one consumer thread per engine, not per lane."""
-        while (r := self.step()) is not None:
+        one consumer thread per engine, not per lane. Live feeds keep
+        iterating through starved steps until ``done`` — a feed gap pauses
+        the stream rather than ending it."""
+        while True:
+            r = self.step()
+            if r is None:
+                if self.done:
+                    return
+                time.sleep(0.005)  # starved, not done: await more feeds
+                continue
             chunk, mask, pos = r
             if mask[lane]:
                 yield np.asarray(chunk[lane]), float(pos[lane])

@@ -282,8 +282,18 @@ class Fleet:
         stream-iterator facade over the batched Fleet, directly consumable
         by ``playback.play`` / ``playback.player`` (with ``mono=False`` each
         chunk is [C, T]: sink i receives channel i, aukit.lua:1929-1940).
-        NOTE: iterating advances the WHOLE fleet; one consumer per Fleet."""
-        while (r := self.step()) is not None:
+        NOTE: iterating advances the WHOLE fleet; one consumer per Fleet.
+        Live (eof=False) fleets keep iterating through starved steps until
+        ``done`` — a feed gap pauses the stream rather than ending it."""
+        import time as _t
+
+        while True:
+            r = self.step()
+            if r is None:
+                if self.done:
+                    return
+                _t.sleep(0.005)  # starved, not done: await more feeds
+                continue
             windows, mask, pos = r
             if mask[station]:
                 yield windows[station], float(pos[station])

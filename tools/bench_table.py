@@ -24,8 +24,10 @@ def main(path: str) -> None:
             d = json.loads(line)
             if "metric" not in d:
                 continue
-            dev = d.get("device_only_realtime_x") or d.get(
-                "kernel_device_realtime_x")
+            # same priority as tools/bench_diff.py::dev — the table and the
+            # regression gate must quote the same device-truth value
+            dev = d.get("kernel_device_realtime_x") or d.get(
+                "device_only_realtime_x")
             frac = d.get("vpu_fraction_device")
             devcell = ""
             if dev is not None:
