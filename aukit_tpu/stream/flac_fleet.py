@@ -237,7 +237,7 @@ def _device_block_iir_scale_fn(out_len: int, alpha: float, out_mode: str,
                                rows.shape[0], out_len)
 
     @functools.partial(jax.jit, donate_argnums=())
-    def fn(res, idx, tvalid, state, gain):
+    def fn(res, idx, tvalid, state, g0, g1, gdone, gspan):
         Pb, C, _ = res.shape
         rows = res.reshape(Pb * C, out_len)
         if mesh is None:
@@ -258,7 +258,13 @@ def _device_block_iir_scale_fn(out_len: int, alpha: float, out_mode: str,
         T = x2.shape[-1]
         i2 = jnp.clip(tvalid - 1, 0, T - 1)
         new_state = jnp.take_along_axis(x2, i2[:, None, None], axis=-1)[..., 0]
-        x2 = x2 * gain[:, None, None]  # volume AFTER the state read
+        # volume AFTER the state read; per-sample linear ramp line
+        # g(t) = g0 + (g1-g0)*min((done+t)/span, 1): constant lanes carry
+        # (g, g, 1, 1) so the expression folds to exactly g (set_volume ramp)
+        t = jnp.arange(T, dtype=jnp.float32)
+        frac = jnp.minimum((gdone[:, None] + t) / gspan[:, None], 1.0)
+        g = g0[:, None] + (g1[:, None] - g0[:, None]) * frac  # [Lb, T]
+        x2 = x2 * g[:, None, :]
         scaled = jnp.clip(x2 * jnp.where(x2 < 0, 128.0, 127.0), -128.0, 127.0)
         if out_mode == "mix":
             scaled = scaled.mean(axis=1)
@@ -283,7 +289,7 @@ def _device_iir_scale_fn(T: int, alpha: float, out_mode: str):
     a = np.float32(alpha)
 
     @jax.jit
-    def fn(x, state, tvalid, gain):
+    def fn(x, state, tvalid, g0, g1, gdone, gspan):
         y = x * a
         y = y.at[..., 0].add(c * state)
         ck = c
@@ -296,7 +302,11 @@ def _device_iir_scale_fn(T: int, alpha: float, out_mode: str):
             shift *= 2
         idx = jnp.clip(tvalid - 1, 0, T - 1)
         new_state = jnp.take_along_axis(y, idx[:, None, None], axis=-1)[..., 0]
-        y = y * gain[:, None, None]  # volume AFTER the state read
+        # volume AFTER the state read; same ramp line as the block-IIR twin
+        t = jnp.arange(T, dtype=jnp.float32)
+        frac = jnp.minimum((gdone[:, None] + t) / gspan[:, None], 1.0)
+        g = g0[:, None] + (g1[:, None] - g0[:, None]) * frac  # [Lb, T]
+        y = y * g[:, None, :]
         scaled = jnp.clip(y * jnp.where(y < 0, 128.0, 127.0), -128.0, 127.0)
         if out_mode == "mix":
             scaled = scaled.mean(axis=1)
@@ -313,6 +323,7 @@ class _Lane:
         "buf", "eof", "dirty", "ended", "error", "consumed", "pos",
         "rate", "channels", "depth", "num_samples", "meta", "alpha",
         "last", "ls", "fifo", "fill", "samples_out", "stalled_at", "gain",
+        "gain0", "ramp_pos", "ramp_len",
     )
 
     def __init__(self):
@@ -336,6 +347,9 @@ class _Lane:
         self.samples_out = 0
         self.stalled_at: int | None = None
         self.gain = 1.0  # per-lane volume (aukit.lua:1935 analog)
+        self.gain0 = 1.0  # ramp start gain (== gain when not ramping)
+        self.ramp_pos = 0  # decoded samples into the active ramp
+        self.ramp_len = 0  # ramp span in output samples (0 = no ramp)
 
 
 class FlacFleet:
@@ -424,16 +438,68 @@ class FlacFleet:
         """Poison reason for an ended lane (None = healthy); §5.3 isolation."""
         return self._lanes[lane].error
 
-    def set_volume(self, lane: int, volume: float):
+    def set_volume(self, lane: int, volume: float, ramp: bool = False):
         """Per-lane playback volume (aukit.lua:1935 analog): the smoothed
         stream scales by ``volume`` after the filter-state read, before the
         int8-range scale — on every path (host oracle, device DSP twins).
         Takes effect from the next decoded block; volume 1.0 is bit-exactly
-        the ungained stream."""
-        self._lanes[lane].gain = float(volume)
+        the ungained stream.
+
+        With ``ramp=True`` the gain moves linearly from its current
+        (instantaneous, mid-ramp included) value to ``volume`` across the
+        lane's next second of decoded output — the click-free contract of
+        ``BatchStreamEngine.set_volume(ramp=True)`` (whose ramp spans one
+        chunk, i.e. the same one second of output), the batched effects.fade
+        analog."""
+        ln = self._lanes[lane]
+        if ramp:
+            ln.gain0 = self._instant_gain(ln)
+            ln.ramp_pos = 0
+            ln.ramp_len = self.out_rate
+        else:
+            ln.gain0 = float(volume)
+            ln.ramp_pos = ln.ramp_len = 0
+        ln.gain = float(volume)
 
     def get_volume(self, lane: int) -> float:
         return self._lanes[lane].gain
+
+    @staticmethod
+    def _instant_gain(ln: _Lane) -> float:
+        if ln.ramp_len == 0 or ln.ramp_pos >= ln.ramp_len:
+            return ln.gain
+        frac = ln.ramp_pos / ln.ramp_len
+        return ln.gain0 + (ln.gain - ln.gain0) * frac
+
+    @staticmethod
+    def _gain_params(ln: _Lane):
+        """(g0, g1, done, span) describing the lane's gain over its next
+        decoded samples: g(t) = g0 + (g1 - g0) * min((done + t) / span, 1).
+        Constant lanes fold to (g, g, 1, 1) so the device expression yields
+        exactly g (and exactly 1.0 for unity gain)."""
+        if ln.ramp_len == 0 or ln.ramp_pos >= ln.ramp_len:
+            return ln.gain, ln.gain, 1.0, 1.0
+        return ln.gain0, ln.gain, float(ln.ramp_pos), float(ln.ramp_len)
+
+    @staticmethod
+    def _gain_vector(ln: _Lane, T: int) -> np.ndarray | float:
+        """Per-sample f64 gains for the lane's next T decoded samples (a
+        scalar when constant — the bit-exact legacy path). Callers advance
+        the ramp cursor via ``_advance_ramp`` afterwards."""
+        g0, g1, done, span = FlacFleet._gain_params(ln)
+        if g0 == g1:
+            return g1
+        t = np.arange(T, dtype=np.float64)
+        frac = np.minimum((done + t) / span, 1.0)
+        return g0 + (g1 - g0) * frac
+
+    @staticmethod
+    def _advance_ramp(ln: _Lane, n: int):
+        if ln.ramp_len:
+            ln.ramp_pos += int(n)
+            if ln.ramp_pos >= ln.ramp_len:
+                ln.gain0 = ln.gain
+                ln.ramp_pos = ln.ramp_len = 0
 
     def lane_info(self, lane: int) -> dict | None:
         """(rate, channels, depth, length_seconds, metadata) once the lane's
@@ -586,18 +652,18 @@ class FlacFleet:
         idx = np.zeros((Lb, m_max), np.int64)
         tval = np.zeros(Lb, np.int32)
         ls = np.zeros((Lb, C), np.float32)
-        gains = np.ones(Lb, np.float32)
+        gp = np.ones((4, Lb), np.float32)  # g0 / g1 / done / span rows
         for i, li in enumerate(lanes):
             F_li = len(parsed[i][1])
             idx[i, :F_li] = fstarts[i] + np.arange(F_li)
             tval[i] = F_li * out_len
             ls[i] = self._lanes[li].ls
-            gains[i] = self._lanes[li].gain
+            gp[:, i] = self._gain_params(self._lanes[li])
         alpha = float(l0.alpha)
         fn_b = _device_block_iir_scale_fn(out_len, alpha, self._out_mode(C),
                                           interpret, self.mesh)
         scaled, new_state = fn_b(res, jnp.asarray(idx), jnp.asarray(tval),
-                                 jnp.asarray(ls), jnp.asarray(gains))
+                                 jnp.asarray(ls), *map(jnp.asarray, gp))
         scaled = np.asarray(scaled)
         new_state = np.asarray(new_state)
         tails = np.asarray(tails)  # [F, C, <=2] raw dec tails (tiny fetch)
@@ -608,6 +674,7 @@ class FlacFleet:
             # n >= 2 is guarded above, so the tail is always exactly 2 wide
             ln.last = tails[fstarts[i + 1] - 1].astype(np.float64).copy()
             out[li] = scaled[i][..., : tval[i]]
+            self._advance_ramp(ln, int(tval[i]))
         return out
 
     def _out_mode(self, C: int) -> str:
@@ -747,9 +814,18 @@ class FlacFleet:
                 # int8-range scale + mono mean, batched over the whole group
                 # (elementwise -> identical to stream.flac's per-chunk order:
                 # scale in f64, mean in f64, then the f32 cast; gain 1.0
-                # multiplies exactly)
-                y = y * np.array([self._lanes[li].gain
-                                  for li in lis])[:, None, None]
+                # multiplies exactly). Ramping lanes get a per-sample linear
+                # gain line instead of the scalar (set_volume ramp=True).
+                T_r = y.shape[-1]
+                gv = [self._gain_vector(self._lanes[li], T_r) for li in lis]
+                if all(np.isscalar(g) for g in gv):
+                    y = y * np.array(gv)[:, None, None]
+                else:
+                    y = y * np.stack(
+                        [np.broadcast_to(np.asarray(g, np.float64), (T_r,))
+                         for g in gv])[:, None, :]
+                for li in lis:
+                    self._advance_ramp(self._lanes[li], T_r)
                 scaled = np.clip(y * np.where(y < 0, 128.0, 127.0), -128, 127)
                 if self.mono:
                     if scaled.shape[1] > 1:
@@ -796,13 +872,13 @@ class FlacFleet:
         idx = np.zeros((Lb, m_max), np.int64)
         tval = np.zeros(Lb, np.int32)
         ls = np.zeros((Lb, C), np.float32)
-        gains = np.ones(Lb, np.float32)
+        gp = np.ones((4, Lb), np.float32)  # g0 / g1 / done / span rows
         for i, li in enumerate(lanes):
             rows = [k for _r, k in sorted(per_lane[li])]
             idx[i, : len(rows)] = rows
             tval[i] = len(rows) * out_len  # valid prefix; pad rows masked
             ls[i] = self._lanes[li].ls
-            gains[i] = self._lanes[li].gain
+            gp[:, i] = self._gain_params(self._lanes[li])
         alpha = float(self._lanes[lanes[0]].alpha)  # one geometry -> one rate
         if self._block_iir:
             # Pallas block-parallel lowpass (see _device_block_iir_scale_fn)
@@ -811,20 +887,21 @@ class FlacFleet:
                 self._block_iir == "interpret", self.mesh)
             scaled, new_state = fn_b(res, jnp.asarray(idx),
                                      jnp.asarray(tval), jnp.asarray(ls),
-                                     jnp.asarray(gains))
+                                     *map(jnp.asarray, gp))
         else:
             x = jnp.take(res, jnp.asarray(idx), axis=0)  # [Lb, m, C, out_len]
             x = jnp.moveaxis(x, 2, 1).reshape(Lb, C, m_max * out_len)
             fn_i = _device_iir_scale_fn(m_max * out_len, alpha,
                                         self._out_mode(C))
             scaled, new_state = fn_i(x, jnp.asarray(ls), jnp.asarray(tval),
-                                     jnp.asarray(gains))
+                                     *map(jnp.asarray, gp))
         scaled = np.asarray(scaled)
         new_state = np.asarray(new_state)
         out = {}
         for i, li in enumerate(lanes):
             self._lanes[li].ls = new_state[i].astype(np.float64)
             out[li] = scaled[i][..., : tval[i]]
+            self._advance_ramp(self._lanes[li], int(tval[i]))
         return out
 
     def _push_lane(self, ln: _Lane, samples: np.ndarray):
@@ -920,6 +997,7 @@ class FlacFleet:
             "samples_out": ln.samples_out,
             "stalled_at": ln.stalled_at,
             "gain": ln.gain,
+            "ramp": (ln.gain0, ln.ramp_pos, ln.ramp_len),
         }
 
     def restore(self, lane: int, ckpt: dict):
@@ -943,6 +1021,8 @@ class FlacFleet:
             ln.fill = fifo.shape[-1]
         ln.samples_out = int(ckpt["samples_out"])
         ln.gain = float(ckpt.get("gain", 1.0))
+        ln.gain0, ln.ramp_pos, ln.ramp_len = ckpt.get(
+            "ramp", (ln.gain, 0, 0))
         self._lanes[lane] = ln
 
     def reset_lane(self, lane: int):

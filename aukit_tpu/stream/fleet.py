@@ -74,10 +74,16 @@ class _Station:
 
 
 def _detect_station(data: bytes):
-    """(kind, spec_or_None, body_start, body_end, info) for one source."""
+    """(kind, spec_or_None, body_start, body_end, info) for one source.
+
+    Detection runs on the REAL construction bytes: the reference's
+    headerless-PCM heuristic probes the head AND the true tail
+    (aukit.lua:2164-2191), so a PCM source with a loud head but a
+    near-silent tail must classify here exactly as ``aukit_tpu.detect``
+    classifies it (a fabricated zero tail would fail the all-zero guard)."""
     from ..containers.detect import detect_format
 
-    kind, depth, dtype = detect_format(bytes(data[:64]) + b"\x00" * 64)
+    kind, depth, dtype = detect_format(bytes(data))
     if kind == "wav":
         spec, off, size = lane_spec_for_wav(data)
         return "engine", spec, off, off + size, {}
@@ -300,11 +306,13 @@ class Fleet:
 
     def set_volume(self, station: int, volume: float, ramp: bool = False):
         """Per-station playback volume (aukit.lua:1935 analog; austream's
-        ``volume=`` for fleet playback). Engine stations support a
-        click-free linear ramp across the next chunk."""
+        ``volume=`` for fleet playback). ``ramp=True`` moves the gain
+        click-free across the station's next second of output on EVERY
+        station kind (engine lanes ramp across the next chunk, FLAC lanes
+        across the next second of decoded output — the same span)."""
         st = self.stations[station]
         if st.kind == "flac":
-            self.flac.set_volume(st.lanes[0], volume)
+            self.flac.set_volume(st.lanes[0], volume, ramp=ramp)
             return
         for ln in st.lanes:
             self.engine.set_volume(ln, volume, ramp=ramp)

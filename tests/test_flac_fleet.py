@@ -462,11 +462,13 @@ def test_device_block_iir_matches_doubling_twin():
         x = jnp.take(jnp.asarray(res), jnp.asarray(idx), axis=0)
         x = jnp.moveaxis(x, 2, 1).reshape(Lb, C, m * out_len)
         exp, exp_st = fn_d(x, jnp.asarray(ls), jnp.asarray(tval),
-                           jnp.asarray(ones))
+                           jnp.asarray(ones), jnp.asarray(ones),
+                           jnp.asarray(ones), jnp.asarray(ones))
         fn_b = _device_block_iir_scale_fn(out_len, alpha, out_mode, True)
         got, got_st = fn_b(jnp.asarray(res), jnp.asarray(idx),
                            jnp.asarray(tval), jnp.asarray(ls),
-                           jnp.asarray(ones))
+                           jnp.asarray(ones), jnp.asarray(ones),
+                           jnp.asarray(ones), jnp.asarray(ones))
         assert got.shape == exp.shape
         for i in range(Lb):  # only the valid prefix is consumed downstream
             np.testing.assert_allclose(np.asarray(got)[i, :tval[i]],
@@ -850,3 +852,70 @@ def test_fleet_three_channel_independent_subframes():
     assert got.shape[0] == 3
     np.testing.assert_array_equal(got[:, : exp.shape[1]], exp)
     assert not np.array_equal(exp[0], exp[1])
+
+
+def test_fleet_volume_ramp():
+    """VERDICT r4 item 7: ``set_volume(ramp=True)`` moves a FLAC lane's gain
+    click-free along a linear line over the next second of output — matching
+    the engine-lane ramp semantics (BatchStreamEngine.set_volume ramp=True:
+    one chunk == one second). The ramped stream equals the unity stream times
+    the per-sample gain line, the first ramped sample sits at the old gain
+    (no click), and after the ramp the lane is bit-exactly a constant-gain
+    lane. Checkpoints carry the mid-ramp cursor."""
+    data = make_flac(48000, 110, seed=91)  # ~2.3 s at 48k
+    base, _ = run_fleet([data])
+    fleet = FlacFleet(1)
+    fleet.set_volume(0, 0.25, ramp=True)
+    got, fleet = run_fleet([data], fleet=fleet)
+    b, g = base[0], got[0]
+    n = len(b)
+    assert n > 2 * 48000
+    t = np.arange(n, dtype=np.float64)
+    line = 1.0 + (0.25 - 1.0) * np.minimum(t / 48000.0, 1.0)
+    unclipped = np.abs(b) < 127
+    np.testing.assert_allclose(g[unclipped], (b * line)[unclipped], atol=0.02)
+    # no click at the ramp start: the first samples ride the OLD gain
+    np.testing.assert_allclose(g[:16], b[:16], atol=0.02)
+    # beyond the ramp: exactly the constant-gain lane (0.25 = 2^-2, exact)
+    const = FlacFleet(1)
+    const.set_volume(0, 0.25)
+    cg, _ = run_fleet([data], fleet=const)
+    np.testing.assert_array_equal(g[2 * 48000:], cg[0][2 * 48000:])
+
+    # a mid-ramp re-ramp starts from the instantaneous gain (continuity):
+    # drip small chunks so the ramp is caught mid-flight
+    f2 = FlacFleet(1)
+    f2.set_volume(0, 0.0, ramp=True)
+    off = 0
+    while f2._lanes[0].ramp_pos == 0 and off < len(data) // 2:
+        f2.feed(0, data[off: off + 4096])
+        off += 4096
+        f2.step()
+    mid = FlacFleet._instant_gain(f2._lanes[0])
+    assert 0.0 < mid < 1.0  # ramp is live mid-flight
+    f2.set_volume(0, 1.0, ramp=True)
+    assert abs(FlacFleet._instant_gain(f2._lanes[0]) - mid) < 1e-9
+    ck = f2.checkpoint(0)
+    assert ck["ramp"][2] == 48000  # span survives the checkpoint
+    f3 = FlacFleet(1)
+    f3.restore(0, ck)
+    assert abs(FlacFleet._instant_gain(f3._lanes[0]) - mid) < 1e-9
+
+
+def test_fleet_volume_ramp_device_dsp():
+    """The device DSP twins compute the same ramp line (f32): a ramped
+    device-route lane tracks the ramped host lane within the twin
+    tolerance."""
+    import jax
+
+    data = make_flac(44100, 3, seed=92)
+    host = FlacFleet(1)
+    host.set_volume(0, 0.5, ramp=True)
+    hg, _ = run_fleet([data], fleet=host)
+
+    dev = FlacFleet(1, device_restore=True, device_dsp=True)
+    if jax.default_backend() != "tpu":
+        dev._block_iir = "interpret"
+    dev.set_volume(0, 0.5, ramp=True)
+    dg, _ = run_fleet([data], fleet=dev)
+    np.testing.assert_allclose(dg[0], hg[0], atol=5e-3)
