@@ -142,7 +142,14 @@ class _GroupIO:
         self.mode: str | None = None
         self.segs: collections.deque = collections.deque()  # np or jax [L, W] segments
         self.seg_off = 0  # consumed columns of segs[0]
-        self.bufs: list[bytearray] | None = None
+        # lane mode: per-lane deques of fed byte chunks + a consumed-prefix
+        # offset into each head chunk (no bytearray shifting), so staging can
+        # gather every ready lane's bytes into ONE join + ONE frombuffer +
+        # ONE scatter per step (VERDICT r4 item 9 — O(L) numpy calls were the
+        # host bottleneck for 1k+ jittery network lanes)
+        self.bufs: list[collections.deque] | None = None
+        self.offs: list[int] | None = None
+        self.sizes: np.ndarray | None = None  # int64[L] buffered bytes
         self.eof = np.zeros(lanes, bool)
 
     # -- feeding -------------------------------------------------------------
@@ -154,8 +161,14 @@ class _GroupIO:
             raise RuntimeError("group already fed via feed_array; cannot mix with feed()")
         if self.mode is None:
             self.mode = "lane"
-            self.bufs = [bytearray() for _ in range(self.lanes)]
-        self.bufs[slot].extend(data)
+            self.bufs = [collections.deque() for _ in range(self.lanes)]
+            self.offs = [0] * self.lanes
+            self.sizes = np.zeros(self.lanes, np.int64)
+        if len(data) == 0:
+            return
+        # snapshot mutable buffers: staged views must not alias caller state
+        self.bufs[slot].append(data if isinstance(data, bytes) else bytes(data))
+        self.sizes[slot] += len(data)
 
     def feed_bulk(self, arr, eof: bool):
         if self.mode == "lane":
@@ -180,7 +193,7 @@ class _GroupIO:
             tot = sum(s.shape[1] for s in self.segs) - self.seg_off
             return np.full(self.lanes, tot, np.int64)
         if self.mode == "lane":
-            return np.array([len(b) for b in self.bufs], np.int64)
+            return self.sizes.copy()
         return np.zeros(self.lanes, np.int64)
 
     @property
@@ -195,7 +208,10 @@ class _GroupIO:
                 off = 0
             return b"".join(parts)
         if self.mode == "lane":
-            return bytes(self.bufs[slot])
+            off = self.offs[slot]
+            return b"".join(
+                memoryview(c)[off:] if i == 0 and off else c
+                for i, c in enumerate(self.bufs[slot]))
         return b""
 
     def replace_lane(self, slot: int, data: bytes, eof: bool):
@@ -203,9 +219,31 @@ class _GroupIO:
             raise RuntimeError("cannot restore a single lane of a bulk-fed group")
         if self.mode is None:
             self.mode = "lane"
-            self.bufs = [bytearray() for _ in range(self.lanes)]
-        self.bufs[slot] = bytearray(data)
+            self.bufs = [collections.deque() for _ in range(self.lanes)]
+            self.offs = [0] * self.lanes
+            self.sizes = np.zeros(self.lanes, np.int64)
+        self.bufs[slot] = collections.deque([bytes(data)] if data else [])
+        self.offs[slot] = 0
+        self.sizes[slot] = len(data)
         self.eof[slot] = eof
+
+    def _take_lane(self, slot: int, need: int, pieces: list):
+        """Append exactly ``need`` buffered bytes of one lane to ``pieces``
+        (zero-copy memoryviews) and advance the lane's cursor."""
+        dq, off = self.bufs[slot], self.offs[slot]
+        while need:
+            head = dq[0]
+            avail = len(head) - off
+            if avail <= need:
+                pieces.append(memoryview(head)[off:] if off else head)
+                dq.popleft()
+                off = 0
+                need -= avail
+            else:
+                pieces.append(memoryview(head)[off: off + need])
+                off += need
+                need = 0
+        self.offs[slot] = off
 
     # -- staging -------------------------------------------------------------
     def stage(self):
@@ -248,28 +286,36 @@ class _GroupIO:
                 return staged, np.ones(self.lanes, bool), np.full(self.lanes, tot, np.int64), False
             return None
         if self.mode == "lane":
-            staged = np.zeros((self.lanes, n), np.uint8)
-            ready = np.zeros(self.lanes, bool)
-            consumed = np.zeros(self.lanes, np.int64)
-            underrun = False
-            for slot in range(self.lanes):
-                buf = self.bufs[slot]
-                if len(buf) >= n:
-                    staged[slot] = np.frombuffer(buf, np.uint8, count=n)
-                    del buf[:n]
-                    ready[slot] = True
-                    consumed[slot] = n
-                elif self.eof[slot] and len(buf) > 0:
-                    take = len(buf)
-                    staged[slot, :take] = np.frombuffer(buf, np.uint8, count=take)
-                    del buf[:]
-                    ready[slot] = True
-                    consumed[slot] = take
-                elif not self.eof[slot]:
-                    underrun = True
+            sizes = self.sizes
+            full = sizes >= n
+            partial = self.eof & ~full & (sizes > 0)  # EOF tails, zero-padded
+            underrun = bool((~self.eof & ~full).any())
+            ready = full | partial
             if not ready.any():
                 return None
-            return staged, ready, consumed, underrun
+            consumed = np.where(full, n, np.where(partial, sizes, 0))
+            # ONE join + ONE frombuffer + ONE scatter for the full lanes (the
+            # steady state of a live fleet); the per-lane Python work is just
+            # deque slicing into the pieces list — no numpy call per lane
+            full_idx = np.nonzero(full)[0]
+            pieces: list = []
+            for slot in full_idx:
+                self._take_lane(int(slot), n, pieces)
+            sizes[full_idx] -= n
+            mat = np.frombuffer(b"".join(pieces), np.uint8)
+            if len(full_idx) == self.lanes:
+                return (mat.reshape(self.lanes, n), ready,
+                        consumed.astype(np.int64), underrun)
+            staged = np.zeros((self.lanes, n), np.uint8)
+            if len(full_idx):
+                staged[full_idx] = mat.reshape(len(full_idx), n)
+            for slot in np.nonzero(partial)[0]:  # rare: final EOF tails only
+                take = int(sizes[slot])
+                tail: list = []
+                self._take_lane(int(slot), take, tail)
+                staged[slot, :take] = np.frombuffer(b"".join(tail), np.uint8)
+                sizes[slot] = 0
+            return staged, ready, consumed.astype(np.int64), underrun
         return None
 
 

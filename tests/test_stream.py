@@ -866,8 +866,9 @@ def test_iir_doubling_zero_pass_skip_bit_identical():
 
     exp, fin_exp = full_fn(jnp.asarray(xf), jnp.asarray(stf), jnp.asarray(tval))
     fn = _device_iir_scale_fn(T, alpha, "first")
+    ones = jnp.asarray(np.ones(4, np.float32))
     got, new_state = fn(jnp.asarray(xf), jnp.asarray(stf), jnp.asarray(tval),
-                        jnp.asarray(np.ones(4, np.float32)))
+                        ones, ones, ones, ones)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(exp))
     np.testing.assert_array_equal(np.asarray(new_state), np.asarray(fin_exp))
 
