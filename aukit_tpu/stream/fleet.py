@@ -18,9 +18,13 @@ Internally a Fleet multiplexes the two batched engines:
 Output contract: ``step()`` -> (windows int8[N, T] — int8[N, C, T] with
 ``mono=False`` — mask bool[N], positions f64[N]) uniform one-second windows
 across every station (engine forced into windowed mode; FLAC float windows
-quantize with the engine's truncating int8 cast). The facade fetches windows
-to the host to merge the two engines' outputs — fleets that need
-device-resident windows use the engines directly.
+quantize with the engine's truncating int8 cast). ``windows`` is a DEVICE
+array: the merge is one jitted dispatch (FLAC int8 quantize + MDFPWM L/R
+floor-mean + channel fit + a precomputed station permutation + mask
+zeroing — the ``_dev_assemble`` pattern at the facade level), so engine
+windows never round-trip through the host and audio crosses to the host
+only where a consumer fetches it (``station_iterator``, ``play_fleet``,
+``np.asarray``) — SURVEY.md §5.8 discipline, VERDICT r4 item 1.
 
 Semantics notes:
  - engine-lane stations run the engine DSP (dsp_chain 2-tap FIR); MDFPWM
@@ -40,15 +44,56 @@ Semantics notes:
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import CONFIG
-from .batch import BatchMetrics, BatchStreamEngine
+from .batch import BatchMetrics, BatchStreamEngine, _dev_padch
 from .batch_codecs import (LaneSpec, lane_spec_for_aiff, lane_spec_for_au,
                            lane_spec_for_qoa, lane_spec_for_wav)
-from .flac_fleet import FlacFleet, _fit_channels
+from .flac_fleet import FlacFleet
 
 __all__ = ["Fleet"]
+
+
+def _dev_fitch(w, cap: int):
+    """[L, C, T] -> [L, cap, T]: extra channels truncate, missing channels
+    replicate channel 0 (the batched ``chunk[i] or chunk[1]`` speaker
+    fallback, aukit.lua:1935) — traced, so the branch is static."""
+    C = w.shape[1]
+    if C == cap:
+        return w
+    if C > cap:
+        return w[:, :cap]
+    return _dev_padch(w, cap)
+
+
+@functools.partial(jax.jit, static_argnames=("out_ch",))
+def _dev_merge(ew, fw, lidx, ridx, perm, mask, out_ch: int):
+    """ONE device dispatch merging both engines' windows into station order:
+    FLAC f32 windows quantize to int8 (truncating cast — bit-identical to
+    the engine's dsp_chain quantize), MDFPWM stations floor-mean their L/R
+    DFPWM lanes (``(l + r) >> 1`` == floor((l+r)/2), the Q3 mixdown), every
+    source fits the facade channel capacity, then a precomputed permutation
+    gathers [engine lanes | FLAC lanes | MDFPWM-merged] rows into station
+    rows and unready stations zero out. ``out_ch == 0`` selects the mono
+    [*, T] layout."""
+    fq = jnp.clip(fw, -128.0, 127.0).astype(jnp.int8)
+    if out_ch == 0:  # mono windows [*, T]
+        l = jnp.take(ew, lidx, axis=0).astype(jnp.int32)
+        r = jnp.take(ew, ridx, axis=0).astype(jnp.int32)
+        md = ((l + r) >> 1).astype(jnp.int8)
+        cat = jnp.concatenate([ew, fq, md], axis=0)
+        return jnp.where(mask[:, None], jnp.take(cat, perm, axis=0), 0)
+    lc = jnp.take(ew[:, 0], lidx, axis=0)  # DFPWM lanes are C == 1
+    rc = jnp.take(ew[:, 0], ridx, axis=0)
+    md = _dev_fitch(jnp.stack([lc, rc], axis=1), out_ch)
+    cat = jnp.concatenate(
+        [_dev_fitch(ew, out_ch), _dev_fitch(fq, out_ch), md], axis=0)
+    return jnp.where(mask[:, None, None], jnp.take(cat, perm, axis=0), 0)
 
 _PCM_CODEC = {
     ("signed", 8): "pcm8", ("unsigned", 8): "pcm8u",
@@ -179,6 +224,27 @@ class Fleet:
                 n_flac, device_restore=device_restore, mesh=mesh,
                 device_dsp=device_dsp, mono=mono, channels=channels,
                 interpolation=interpolation)
+        # device-merge plan (VERDICT r4 item 1): station i's window lives at
+        # row perm[i] of the concat [engine lanes | FLAC lanes | MDFPWM-
+        # merged]; mdf_l/mdf_r list the engine lanes each MDFPWM station
+        # floor-means on device
+        self._n_engine = len(specs)
+        self._n_flac = n_flac
+        perm = np.zeros(len(self.stations), np.int64)
+        mdf_l: list[int] = []
+        mdf_r: list[int] = []
+        for i, st in enumerate(self.stations):
+            if st.kind == "engine":
+                perm[i] = st.lanes[0]
+            elif st.kind == "flac":
+                perm[i] = self._n_engine + st.lanes[0]
+            else:
+                perm[i] = self._n_engine + n_flac + len(mdf_l)
+                mdf_l.append(st.lanes[0])
+                mdf_r.append(st.lanes[1])
+        self._perm = jnp.asarray(perm)
+        self._mdf_l = jnp.asarray(np.array(mdf_l, np.int64))
+        self._mdf_r = jnp.asarray(np.array(mdf_r, np.int64))
         # pass 2: route every construction byte through the one feed path
         for i, data in enumerate(initial):
             self.feed(i, data)
@@ -302,7 +368,8 @@ class Fleet:
                 continue
             windows, mask, pos = r
             if mask[station]:
-                yield windows[station], float(pos[station])
+                # fetch ONLY the consumed station's row to the host
+                yield np.asarray(windows[station]), float(pos[station])
 
     def set_volume(self, station: int, volume: float, ramp: bool = False):
         """Per-station playback volume (aukit.lua:1935 analog; austream's
@@ -332,59 +399,44 @@ class Fleet:
     # -- the batched step ---------------------------------------------------------
     def step(self):
         """One batched step across every station. Returns
-        (windows int8[N, T] | int8[N, C, T], mask bool[N], positions f64[N])
-        or None when no station can produce."""
+        (windows int8[N, T] | int8[N, C, T] DEVICE array, mask bool[N],
+        positions f64[N]) or None when no station can produce. The merge is
+        one jitted dispatch (``_dev_merge``); windows cross to the host only
+        when a consumer fetches them."""
         er = self.engine.step() if self.engine is not None else None
         fr = self.flac.step() if self.flac is not None else None
         if er is None and fr is None:
             return None
         N = len(self.stations)
-        shape = ((N, self.out_rate) if self.mono
-                 else (N, self.out_ch, self.out_rate))
-        windows = np.zeros(shape, np.int8)
         mask = np.zeros(N, bool)
         positions = np.zeros(N, np.float64)
-        ew = None if er is None else np.asarray(er[0])
-        fw = None if fr is None else fr[0]
-        for i, st in enumerate(self.stations):
+        for i, st in enumerate(self.stations):  # host bookkeeping only
             if st.kind == "flac":
-                if fr is None:
-                    continue
-                ln = st.lanes[0]
-                positions[i] = fr[2][ln]
-                if fr[1][ln]:
-                    mask[i] = True
-                    # the engine's truncating int8 quantize (dsp_chain cast)
-                    windows[i] = np.clip(fw[ln], -128, 127).astype(np.int8)
-                continue
-            if er is None:
-                continue
-            positions[i] = er[2][st.lanes[0]]
-            if st.kind == "engine":
-                if er[1][st.lanes[0]]:
-                    mask[i] = True
-                    w = ew[st.lanes[0]]
-                    # the engine pads to ITS max channel count, which may
-                    # differ from the facade's capacity — fit (replicate
-                    # channel 0 / truncate) before assignment
-                    windows[i] = (w if self.mono
-                                  else _fit_channels(w, self.out_ch))
-            else:  # mdfpwm: merge the L/R lanes at the station boundary
-                li, ri = st.lanes
-                if er[1][li] or er[1][ri]:
-                    mask[i] = True
-                    left, right = ew[li], ew[ri]
-                    if self.mono:
-                        # fixed Q3 mixdown: floor((l + r) / 2)
-                        windows[i] = np.floor(
-                            (left.astype(np.float64)
-                             + right.astype(np.float64)) / 2).astype(np.int8)
-                    else:
-                        lr = np.stack([left[0] if left.ndim == 2 else left,
-                                       right[0] if right.ndim == 2 else right])
-                        windows[i] = _fit_channels(lr, self.out_ch)
+                if fr is not None:
+                    positions[i] = fr[2][st.lanes[0]]
+                    mask[i] = bool(fr[1][st.lanes[0]])
+            elif er is not None:
+                positions[i] = er[2][st.lanes[0]]
+                if st.kind == "engine":
+                    mask[i] = bool(er[1][st.lanes[0]])
+                else:  # mdfpwm: ready when either L/R lane produced
+                    mask[i] = bool(er[1][st.lanes[0]] or er[1][st.lanes[1]])
         if not mask.any():
             return None
+        T = self.out_rate
+        if er is not None:
+            ew = er[0]  # device int8 [Le, T] / [Le, Ce, T] (windowed mode)
+        else:
+            ce = self.engine.out_channels if self.engine is not None else 1
+            ew = jnp.zeros((self._n_engine, T) if self.mono
+                           else (self._n_engine, ce, T), jnp.int8)
+        if fr is not None:
+            fw = jnp.asarray(fr[0])  # the FLAC windows' one host->HBM hop
+        else:
+            fw = jnp.zeros((self._n_flac, T) if self.mono
+                           else (self._n_flac, self.out_ch, T), jnp.float32)
+        windows = _dev_merge(ew, fw, self._mdf_l, self._mdf_r, self._perm,
+                             jnp.asarray(mask), 0 if self.mono else self.out_ch)
         return windows, mask, positions
 
     # -- checkpoint / resume (SURVEY.md §5.4) --------------------------------------

@@ -592,17 +592,39 @@ def bench_all():
                         wav_src][i % 3])
     facade = Fleet(sources)
     t0 = time.time()
+    last_w = None
     while not facade.done:
-        facade.step()
+        r = facade.step()
+        if r is not None:
+            last_w = r[0]
+    if last_w is not None:  # one dependent fetch forces the merge dispatches
+        force(last_w[:1, :8])
     dt = time.time() - t0
-    lines.append({
+    line = {
         "metric": "fleet_facade_realtime",
         "value": round(facade.metrics.samples_decoded / dt / 48000, 1),
         "unit": "x_realtime", "vs_baseline": None,
         "note": f"{fstations} mixed stations (FLAC + raw DFPWM + IMA-WAV) "
                 "behind the one Fleet dispatch surface; end-to-end incl. "
-                "container bridging, both engines and host window merge — "
-                "tunnel-bound here like the engine lines"})
+                "container bridging, both engines and the jitted device "
+                "merge (windows stay device-resident) — tunnel-bound here "
+                "like the engine lines"}
+    if backend == "tpu":
+        # device-busy truth for the whole facade pass (VERDICT r4 item 1):
+        # engines + FLAC device route + the one merge dispatch per step
+        def facade_pass(_i):
+            f2 = Fleet(sources, device_restore=True, device_dsp=True)
+            last = None
+            while not f2.done:
+                r2 = f2.step()
+                if r2 is not None:
+                    last = r2[0]
+            return last
+
+        facade_pass(0)  # compile off-trace
+        attach_device_busy(line, facade_pass,
+                           facade.metrics.samples_decoded)
+    lines.append(line)
 
     # config 8: staging microbench (VERDICT r2 item 8): column-view chunk
     # assembly with NO device transfer, then the transfer alone — separates

@@ -422,3 +422,75 @@ def test_fleet_facade_flac_volume_ramp():
     # (non-zero-padded) audio
     assert np.abs(got[60000:100000]).mean() < \
         0.45 * np.abs(base[60000:100000]).mean()
+
+
+def test_fleet_step_returns_device_windows_bit_equal_to_host_merge():
+    """VERDICT r4 item 1: ``Fleet.step`` returns a DEVICE array assembled by
+    one jitted merge — bit-identical to an explicit host-side merge of the
+    two engines' outputs (FLAC truncating int8 quantize, MDFPWM floor-mean,
+    channel fit, station permutation, mask zeroing)."""
+    import jax
+
+    fl = make_flac(44100, 40, seed=21)
+    dfpwm = RNG.integers(0, 256, 12000, dtype=np.uint8).tobytes()
+    mdf, _ = make_mdfpwm(2)
+    fleet = Fleet([fl, (LaneSpec("dfpwm", 48000), dfpwm), mdf])
+    host = Fleet([fl, (LaneSpec("dfpwm", 48000), dfpwm), mdf])
+    while True:
+        r = fleet.step()
+        if r is None:
+            assert fleet.done
+            break
+        w, m, _p = r
+        assert isinstance(w, jax.Array)  # device-resident windows
+        # explicit host merge over the same step of the twin fleet
+        er = host.engine.step()
+        hr = host.flac.step()
+        exp = np.zeros((3, 48000), np.int8)
+        if hr is not None and hr[1][0]:
+            exp[0] = np.clip(hr[0][0], -128, 127).astype(np.int8)
+        if er is not None:
+            ewh = np.asarray(er[0])
+            if er[1][0]:
+                exp[1] = ewh[0]
+            if er[1][1] or er[1][2]:
+                exp[2] = np.floor((ewh[1].astype(np.float64)
+                                   + ewh[2].astype(np.float64)) / 2)
+        np.testing.assert_array_equal(np.asarray(w), exp)
+
+
+def test_fleet_512_station_scale():
+    """512 mixed stations through the one facade dispatch: windows stay
+    device-resident, every station decodes, and spot-checked stations are
+    bit-equal to their solo references."""
+    import jax
+
+    n_st = 512
+    dfpwm_srcs = [RNG.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+                  for _ in range(4)]
+    fl = make_flac(48000, 40, seed=31)
+    sources = []
+    for i in range(n_st):
+        if i % 64 == 0:
+            sources.append(fl)
+        else:
+            sources.append((LaneSpec("dfpwm", 48000), dfpwm_srcs[i % 4]))
+    fleet = Fleet(sources)
+    outs = [[] for _ in range(n_st)]
+    while not fleet.done:
+        r = fleet.step()
+        if r is None:
+            continue
+        w, m, _p = r
+        assert isinstance(w, jax.Array)
+        host = np.asarray(w)  # one fetch per step for the scale assertion
+        for i in np.nonzero(m)[0]:
+            outs[i].append(host[i])
+    assert all(len(o) > 0 for o in outs)
+    # spot parity: a DFPWM station vs the engine-DSP reference, FLAC vs solo
+    dec = dfpwm_decode_ref(np.frombuffer(dfpwm_srcs[1], np.uint8))
+    np.testing.assert_array_equal(np.concatenate(outs[1])[: len(dec)],
+                                  fir_48k_f(dec))
+    from tests.test_flac_fleet import solo_reference
+    exp = np.clip(solo_reference(fl), -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(np.concatenate(outs[0])[: len(exp)], exp)
