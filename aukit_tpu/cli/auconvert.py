@@ -35,6 +35,11 @@ Options:
     For available effects, use `-e list`
   -m|--map <map command>            Map one or more input channels to an output channel
      --interpolation <type>         Set the interpolation type for audio scaling (none, linear, cubic, sinc)
+     --fleet                        Batched transcode: decode ALL inputs concurrently
+                                    (one device fleet) and encode input i to output i
+                                    device-to-device. Outputs are mono 48 kHz; formats
+                                    dfpwm/wav/pcm (PCM depth via -B); maps/effects are
+                                    not available in this mode
   -h|--help                         Show this help
 
 Map command format:
@@ -226,11 +231,74 @@ def load_input(path: str, spec: dict):
     return audio
 
 
+def _fleet_transcode(inputs, outputs, maps):
+    """``--fleet``: N inputs -> N outputs in ONE batched pipeline — every
+    input decodes as a Fleet station (container auto-detect, the batched
+    aukit.lua:2992-2996 dispatch), every output encodes as a
+    BatchEncodeEngine lane, with the decode windows feeding the encoder
+    device-to-device (VERDICT r4 item 2's cap; the batched form of
+    auconvert.lua:333-419's decode->write pipeline). Outputs are mono
+    48 kHz and padded to the engines' one-second window grid."""
+    from aukit_tpu.containers.wav import pcm_wav_header
+    from aukit_tpu.stream.batch_encode import (BatchEncodeEngine, EncodeSpec,
+                                               transcode_fleet)
+    from aukit_tpu.stream.fleet import Fleet
+
+    if maps:
+        raise SystemExit("--map is not available with --fleet")
+    if not outputs:
+        raise SystemExit("No outputs specified.")
+    if len(outputs) != len(inputs):
+        raise SystemExit(
+            f"--fleet maps input i to output i: got {len(inputs)} inputs "
+            f"but {len(outputs)} outputs")
+    specs = []
+    for n, out in enumerate(outputs, 1):
+        if out.get("effects"):
+            raise SystemExit("--effect is not available with --fleet")
+        fmt = out.get("format")
+        if not fmt:
+            p = out["path"].lower()
+            fmt = ("dfpwm" if p.endswith(".dfpwm") else
+                   "wav" if p.endswith(".wav") else
+                   "pcm" if p.endswith((".pcm", ".raw")) else None)
+            if fmt is None:
+                raise SystemExit("Could not detect file type.")
+        out["format"] = fmt
+        depth = out.get("bitDepth") or (8 if fmt == "dfpwm" else 16)
+        if fmt == "dfpwm":
+            specs.append(EncodeSpec("dfpwm"))
+        else:
+            if depth not in (8, 16, 24, 32):
+                raise SystemExit(
+                    "--fleet PCM/WAV outputs support bit depths 8/16/24/32")
+            specs.append(EncodeSpec(f"pcm{depth}"))
+        out["bitDepth"] = depth
+        print(f"Output {n}: {out['path']} ({fmt}, {depth}-bit, mono 48000 Hz)")
+    sources = []
+    for spec in inputs:
+        with open(spec["path"], "rb") as f:
+            sources.append(f.read())
+    print(f"Transcoding {len(sources)} files in one batched fleet...")
+    fleet = Fleet(sources)
+    enc = BatchEncodeEngine(specs)
+    bodies = transcode_fleet(fleet, enc)
+    for out, body in zip(outputs, bodies):
+        data = (pcm_wav_header(1, 48000, out["bitDepth"], len(body)) + body
+                if out["format"] == "wav" else body)
+        with open(out["path"], "wb") as f:
+            f.write(data)
+        print(f"Wrote {out['path']} ({len(data)} bytes)")
+
+
 def main(argv=None):
     import aukit_tpu as ak
     from aukit_tpu.config import CONFIG
 
     args = list(sys.argv[1:] if argv is None else argv)
+    fleet_mode = "--fleet" in args
+    while "--fleet" in args:
+        args.remove("--fleet")
     inputs, outputs, maps = [], [], {}
 
     def cur(lst, flag, what):
@@ -321,6 +389,8 @@ def main(argv=None):
     print(f"auconvert, using aukit-tpu {ak.__version__} (AUKit {ak._REFERENCE_VERSION} semantics)")
     if not inputs:
         raise SystemExit("No inputs specified.")
+    if fleet_mode:
+        return _fleet_transcode(inputs, outputs, maps)
     for n, spec in enumerate(inputs, 1):
         print(f"Input {n}:")
         spec["audio"] = load_input(spec["path"], spec)

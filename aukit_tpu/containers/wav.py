@@ -247,6 +247,27 @@ def _info_list(metadata: dict) -> bytes | None:
     return b"".join(parts)
 
 
+def pcm_wav_header(channels: int, sample_rate: int, bit_depth: int,
+                   payload_len: int) -> bytes:
+    """The PCM WAV header ``encode_wav`` writes (reference Audio:wav,
+    aukit.lua:942, metadata-free case) for a known payload size — used by the
+    batched transcode path to wrap fleet-encoded bodies so
+    ``header + body == Audio:wav(...)`` bit-for-bit (incl. the reference's
+    RIFF-size quirk: #data + 36 regardless of other chunks)."""
+    if bit_depth not in (8, 16, 24, 32):
+        raise ValueError("invalid bit depth")
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * bit_depth // 8,
+        channels * bit_depth // 8, bit_depth,
+    )
+    return b"".join([
+        b"RIFF", struct.pack("<I", payload_len + 36), b"WAVE",
+        b"fmt ", struct.pack("<I", 16), fmt,
+        b"data", struct.pack("<I", payload_len),
+    ])
+
+
 def encode_wav(audio: Audio, bit_depth: int = 16) -> bytes:
     """Audio -> WAV bytes (reference Audio:wav, aukit.lua:942). ``bit_depth=1``
     writes DFPWM in a WAVE_FORMAT_EXTENSIBLE container with a fact chunk."""

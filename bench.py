@@ -626,6 +626,47 @@ def bench_all():
                            facade.metrics.samples_decoded)
     lines.append(line)
 
+    # config 7c: the batched WRITE path (VERDICT r4 item 2): N PCM16 lanes
+    # decode -> DFPWM encode device-to-device (decode windows feed
+    # encode_windows without leaving HBM) — the auconvert --fleet pipeline
+    from aukit_tpu.stream.batch_encode import BatchEncodeEngine, EncodeSpec
+
+    tlanes = 512 if backend == "tpu" else 64
+    tsec = 3
+    tdata = rng.integers(-(1 << 14), 1 << 14,
+                         (tlanes, 48000 * tsec)).astype("<i2")
+    tbytes = np.ascontiguousarray(tdata).view(np.uint8).reshape(tlanes, -1)
+
+    def transcode_pass(_i):
+        dec = BatchStreamEngine([LaneSpec("pcm16", 48000)] * tlanes,
+                                windowed=True)
+        dec.feed_array(tbytes)
+        enc = BatchEncodeEngine([EncodeSpec("dfpwm")] * tlanes)
+        last = None
+        while not dec.done:
+            r = dec.step()
+            if r is None:
+                continue
+            out, _nb, _m, _p = enc.encode_windows(r[0], r[1])
+            last = out
+        return last
+
+    force(transcode_pass(0)[:1, :8])  # warm the decode+encode compiles
+    t0 = time.time()
+    force(transcode_pass(1)[:1, :8])  # dependent fetch forces the chain
+    dt = time.time() - t0
+    tr_samples = tlanes * 48000 * tsec
+    line = {"metric": f"transcode_fleet_realtime_{backend}",
+            "value": round(tr_samples / dt / 48000, 1),
+            "unit": "x_realtime", "vs_baseline": None,
+            "note": f"{tlanes} lanes WAV-PCM16 decode -> DFPWM encode, "
+                    "device-to-device windows (the auconvert --fleet "
+                    "pipeline); host-byte ingestion is tunnel-bound here "
+                    "like the engine lines"}
+    if backend == "tpu":
+        attach_device_busy(line, transcode_pass, tr_samples)
+    lines.append(line)
+
     # config 8: staging microbench (VERDICT r2 item 8): column-view chunk
     # assembly with NO device transfer, then the transfer alone — separates
     # host staging cost from the tunnel/PCIe so the engine numbers above can

@@ -314,3 +314,55 @@ def test_austream_fleet_mode(tmp_path):
     ref1 = Fleet([wav_a])
     base = np.concatenate([r[0][0] for r in iter(ref1.step, None) if r[1][0]])
     assert np.abs(got.astype(np.int32)).sum() < np.abs(base.astype(np.int32)).sum()
+
+
+def test_auconvert_fleet_transcode(tmp_path, capsys):
+    """--fleet: N inputs -> N outputs through the batched decode+encode
+    pipeline; WAV output wraps the fleet body with the solo writer's header
+    and round-trips through the solo loader."""
+    import aukit_tpu as ak
+    from aukit_tpu.cli import auconvert
+
+    w1 = tmp_path / "a.wav"
+    w2 = tmp_path / "b.wav"
+    o1 = tmp_path / "a.dfpwm"
+    o2 = tmp_path / "b16.wav"
+    w1.write_bytes(ak.tone(300, 1.0, 0.6, "sine", sample_rate=48000).wav(16))
+    w2.write_bytes(ak.tone(500, 1.5, 0.5, "sine", sample_rate=24000).wav(16))
+    auconvert.main(["--fleet", "-i", str(w1), "-i", str(w2),
+                    "-o", str(o1), "-o", str(o2), "-B", "16"])
+    out = capsys.readouterr().out
+    assert "batched fleet" in out
+    d = o1.read_bytes()
+    assert len(d) == 48000 // 8  # 1 s of DFPWM at the window grid
+    back = ak.wav(o2.read_bytes())
+    assert back.sample_rate == 48000 and back.channels == 1
+    assert back.num_samples % 48000 == 0 and back.num_samples >= 2 * 48000
+
+    # parity with the direct glue path: the CLI is the same pipeline
+    from aukit_tpu.stream.batch_encode import (BatchEncodeEngine, EncodeSpec,
+                                               transcode_fleet)
+    from aukit_tpu.stream.fleet import Fleet
+
+    fleet = Fleet([w1.read_bytes(), w2.read_bytes()])
+    enc = BatchEncodeEngine([EncodeSpec("dfpwm"), EncodeSpec("pcm16")])
+    bodies = transcode_fleet(fleet, enc)
+    assert d == bodies[0]
+    from aukit_tpu.containers.wav import pcm_wav_header
+
+    assert o2.read_bytes() == pcm_wav_header(1, 48000, 16, len(bodies[1])) + bodies[1]
+
+
+def test_auconvert_fleet_rejects_maps_effects(tmp_path):
+    from aukit_tpu.cli import auconvert
+
+    w = tmp_path / "x.wav"
+    import aukit_tpu as ak
+
+    w.write_bytes(ak.tone(300, 0.3, 0.5, "sine", sample_rate=48000).wav(16))
+    with pytest.raises(SystemExit, match="--map is not available"):
+        auconvert.main(["--fleet", "-i", str(w), "-o", str(tmp_path / "y.dfpwm"),
+                        "-m", "1=1"])
+    with pytest.raises(SystemExit, match="--effect is not available"):
+        auconvert.main(["--fleet", "-i", str(w), "-o", str(tmp_path / "y.dfpwm"),
+                        "-e", "normalize,0.8"])
