@@ -384,6 +384,39 @@ class Fleet:
         for ln in st.lanes:
             self.engine.set_volume(ln, volume, ramp=ramp)
 
+    def set_filter(self, station: int, kind: str | None, cutoff: float = 0.0):
+        """Per-station one-pole lowpass/highpass at the station's native rate
+        (the auplay pipeline stage, auplay.lua:20-31) — engine-backed
+        stations only; FLAC stations raise (their DSP chain has no per-lane
+        filter stage yet — loud, not silent)."""
+        st = self.stations[station]
+        if st.kind == "flac":
+            raise ValueError("per-station filters are not supported on FLAC "
+                             "stations (decode them via an engine lane, or "
+                             "filter the fetched windows)")
+        for ln in st.lanes:
+            self.engine.set_filter(ln, kind, cutoff)
+
+    def set_mono(self, station: int, on: bool = True):
+        """Per-station mono-mix toggle (mono=False fleets); engine-backed
+        stations only — FLAC stations raise."""
+        st = self.stations[station]
+        if st.kind == "flac":
+            raise ValueError("per-station mono toggle is not supported on "
+                             "FLAC stations")
+        for ln in st.lanes:
+            self.engine.set_mono(ln, on)
+
+    def normalize(self, peak: float = 0.8):
+        """Whole-file normalize across every engine-backed station (the
+        batched auplay normalize(0.8) stage). Fleets with FLAC stations
+        raise — their whole-file peak is not measurable without a second
+        parse pass."""
+        if self.flac is not None:
+            raise ValueError("normalize is not supported on fleets with "
+                             "FLAC stations")
+        self.engine.normalize(peak)
+
     @property
     def metrics(self) -> BatchMetrics:
         m = BatchMetrics()

@@ -507,6 +507,42 @@ def bench_all():
         attach_device_busy(line, mixed_pass, out_samples)
     lines.append(line)
 
+    # config 6b: the batched auplay DSP chain (VERDICT r4 item 3): per-lane
+    # normalize + lowpass riding INSIDE the engine step — fleet-wide effects
+    # at engine grade (vs the eager per-Audio effects chain in config 5)
+    dl = 4096 if backend == "tpu" else 512
+    dsp_feed = rng.integers(-(1 << 13), 1 << 13, (dl, 48000 * 3)).astype("<i2")
+    dsp_bytes = np.ascontiguousarray(dsp_feed).view(np.uint8).reshape(dl, -1)
+
+    def dsp_pass(_i):
+        de = BatchStreamEngine([LaneSpec("pcm16", 48000)] * dl, windowed=True)
+        for lane in range(dl):
+            de.set_filter(lane, "lowpass", 12000)
+        de.feed_array(dsp_bytes)
+        de.normalize(0.8)
+        last = None
+        while True:
+            r = de.step()
+            if r is None:
+                return last
+            last = r[0]
+
+    force(dsp_pass(0)[:1, :8])  # warm
+    t0 = time.time()
+    force(dsp_pass(1)[:1, :8])
+    dt = time.time() - t0
+    dsp_samples = dl * 48000 * 3
+    line = {"metric": f"engine_dsp_auplay_realtime_{backend}",
+            "value": round(dsp_samples / dt / 48000, 1),
+            "unit": "x_realtime", "vs_baseline": None,
+            "note": f"{dl} pcm16 lanes with per-lane normalize(0.8) + "
+                    "lowpass(12k) fused into the engine step (the batched "
+                    "auplay chain incl. the two-pass normalize measurement); "
+                    "host-byte ingestion tunnel-bound here"}
+    if backend == "tpu":
+        attach_device_busy(line, dsp_pass, dsp_samples)
+    lines.append(line)
+
     # config 7: FLAC fleet (stream/flac_fleet.py): N drip-fed FLAC streams,
     # ONE batched LPC-restore dispatch per step (VERDICT r2 item 1 — the
     # reference's flagship network case, aukit.lua:3115-3191, batched)
@@ -749,8 +785,14 @@ def bench_all():
 
     dt = _time(chain, force, 3)
     total = 64 * 48000 * 2
-    lines.append({"metric": f"effects_chain_batched_realtime_{backend}", "value": round(total / dt / 48000, 1),
-                  "unit": "x_realtime", "vs_baseline": None})
+    line = {"metric": f"effects_chain_batched_realtime_{backend}", "value": round(total / dt / 48000, 1),
+            "unit": "x_realtime", "vs_baseline": None,
+            "note": "eager per-Audio effects API (one dispatch per effect, "
+                    "tunnel-RTT-bound here); the fleet path is "
+                    "engine_dsp_auplay_realtime (effects fused in-step)"}
+    if backend == "tpu":
+        attach_device_busy(line, chain, total)
+    lines.append(line)
 
 
 if __name__ == "__main__":

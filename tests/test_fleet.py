@@ -494,3 +494,21 @@ def test_fleet_512_station_scale():
     from tests.test_flac_fleet import solo_reference
     exp = np.clip(solo_reference(fl), -128, 127).astype(np.int8)
     np.testing.assert_array_equal(np.concatenate(outs[0])[: len(exp)], exp)
+
+
+def test_fleet_dsp_passthrough_and_honest_flac_errors():
+    """Fleet.set_filter/set_mono/normalize reach engine stations; FLAC
+    stations reject loudly rather than silently dropping the request."""
+    dfp = RNG.integers(0, 256, 6000, dtype=np.uint8).tobytes()
+    fl = make_flac(48000, 4, seed=55)
+    fleet = Fleet([(LaneSpec("dfpwm", 48000), dfp), fl])
+    fleet.set_filter(0, "lowpass", 9000)
+    assert fleet.engine.groups[0].lp_kind[0] == 1
+    with pytest.raises(ValueError, match="FLAC"):
+        fleet.set_filter(1, "lowpass", 9000)
+    with pytest.raises(ValueError, match="FLAC"):
+        fleet.normalize(0.8)
+    eng_only = Fleet([(LaneSpec("dfpwm", 48000), dfp)])
+    eng_only.normalize(0.8)
+    outs = collect(eng_only)
+    assert outs[0].shape[-1] > 0
