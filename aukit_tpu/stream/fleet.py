@@ -104,7 +104,7 @@ _PCM_CODEC = {
 
 class _Station:
     __slots__ = ("kind", "lanes", "body_start", "body_end", "fed", "mdf_buf",
-                 "mdf_per", "mdf_sent", "info")
+                 "mdf_per", "mdf_sent", "info", "src")
 
     def __init__(self, kind: str):
         self.kind = kind  # "engine" | "flac" | "mdfpwm"
@@ -116,6 +116,7 @@ class _Station:
         self.mdf_per = 0  # bytes per channel (MDFPWM length trim)
         self.mdf_sent = 0  # bytes delivered per lane so far
         self.info: dict = {}
+        self.src: bytes | None = None  # retained source (eof stations; seek)
 
 
 def _detect_station(data: bytes):
@@ -245,8 +246,13 @@ class Fleet:
         self._perm = jnp.asarray(perm)
         self._mdf_l = jnp.asarray(np.array(mdf_l, np.int64))
         self._mdf_r = jnp.asarray(np.array(mdf_r, np.int64))
-        # pass 2: route every construction byte through the one feed path
+        # pass 2: route every construction byte through the one feed path;
+        # eof stations retain their source so seek()/reset_station() can
+        # re-position without a rebuild (aukit.lua:2041-2056 Player seek
+        # analog; reference sources are whole tables in memory anyway)
         for i, data in enumerate(initial):
+            if eof:
+                self.stations[i].src = data
             self.feed(i, data)
             if eof:
                 self.feed(i, None)
@@ -471,6 +477,173 @@ class Fleet:
         windows = _dev_merge(ew, fw, self._mdf_l, self._mdf_r, self._perm,
                              jnp.asarray(mask), 0 if self.mono else self.out_ch)
         return windows, mask, positions
+
+    # -- station lifecycle + seek (VERDICT r4 item 4) ------------------------------
+    def reset_station(self, station: int, source=None, eof: bool = True):
+        """Reuse a station's lane slots for a NEW source without rebuilding
+        (or recompiling) the fleet — the batched analog of the reference's
+        reusable speaker/iterator model (a radio server rotates a finished
+        station live). ``source`` is raw bytes or an explicit
+        ``(LaneSpec, bytes)`` pair like the constructor; None replays the
+        retained source from the start. The new source must keep the
+        station's kind and lane spec (lane slots are fixed at construction —
+        a different codec needs a station of that spec)."""
+        st = self.stations[station]
+        if isinstance(source, tuple):
+            spec, data = source
+            data = bytes(data)
+            kind, off, end, info = "engine", 0, None, {}
+        elif source is not None:
+            data = bytes(source)
+            kind, spec, off, end, info = _detect_station(data)
+        else:
+            if st.src is None:
+                raise ValueError("no retained source: pass `source=` (live "
+                                 "stations do not retain bytes)")
+            data = st.src
+            kind, spec, off, end, info = (
+                ("engine", None, st.body_start, st.body_end, dict(st.info))
+                if st.kind == "engine" else
+                (st.kind, None, 0, None, {}))
+        if kind != st.kind:
+            raise ValueError(f"station {station} is {st.kind!r}; the new "
+                             f"source detects as {kind!r} — lane slots are "
+                             "fixed at construction")
+        if kind == "engine":
+            lane = st.lanes[0]
+            if spec is not None and spec != self.engine.specs[lane]:
+                raise ValueError(
+                    f"station {station} lane spec is "
+                    f"{self.engine.specs[lane]}; the new source needs "
+                    f"{spec} — reuse requires a matching spec")
+            self.engine.reset_lane(lane)
+            st.body_start, st.body_end, st.info = off, end, info
+        elif kind == "flac":
+            self.flac.reset_lane(st.lanes[0])
+        else:  # mdfpwm
+            for ln in st.lanes:
+                self.engine.reset_lane(ln)
+            st.mdf_buf.clear()
+            st.mdf_sent = 0
+            st.mdf_per = self._mdfpwm_init(data, st)
+        st.fed = 0
+        st.src = data if eof else None
+        self.feed(station, data)
+        if eof:
+            self.feed(station, None)
+
+    def seek(self, station: int, seconds: float) -> float:
+        """Re-position an EOF station to ``seconds`` using the format's
+        decodable-boundary math (stream/seek.py): FLAC by validated
+        frame-sync walk, block codecs by block math, PCM/G.711 sample-exact,
+        QOA by frame-header walk — their state is in-band, so decode from
+        the landing is exact. DFPWM (and MDFPWM) state is NOT in-band: the
+        lane state is reconstructed by decoding the byte prefix through the
+        host fast path (O(prefix) at native C++ speed) — bit-identical to
+        decode-from-start. Returns the landing position in seconds; the
+        playback smoothing (one-pole FIR) rewarms over a few samples at the
+        landing (documented; the codec layer is exact)."""
+        from . import seek as sk
+
+        st = self.stations[station]
+        if st.src is None:
+            raise ValueError("seek requires an eof station (retained source)")
+        src = st.src
+        if st.kind == "flac":
+            from ..codecs.flac import parse_flac_header
+
+            ln = st.lanes[0]
+            offset, landing = sk.flac_seek(src, seconds)
+            fpos = parse_flac_header(src)[5]
+            self.flac.reset_lane(ln)
+            self.flac.feed(ln, src[:fpos] + src[offset:])
+            self.flac.feed(ln, None)
+            self.flac._lanes[ln].samples_out = int(round(
+                landing * self.out_rate))
+            return landing
+        if st.kind == "mdfpwm":
+            from .batch_codecs import mdfpwm_to_lanes
+
+            _spec, left, right = mdfpwm_to_lanes(src)
+            off = min(int(seconds * 48000) // 8, len(left))
+            landing = off * 8 / 48000.0
+            for ln, body in zip(st.lanes, (left, right)):
+                self._seek_dfpwm_lane(ln, body, off, landing)
+            st.mdf_buf.clear()
+            st.mdf_sent = st.mdf_per  # lane bytes were fed directly
+            st.fed = len(src)
+            return landing
+        lane = st.lanes[0]
+        spec = self.engine.specs[lane]
+        body = src[st.body_start: st.body_end]
+        codec = spec.codec
+        if codec == "dfpwm":
+            off = min(int(seconds * spec.sample_rate) // 8, len(body))
+            landing = off * 8 / spec.sample_rate
+            self._seek_dfpwm_lane(lane, body, off, landing)
+            st.fed = len(src)
+            return landing
+        if codec == "qoa":
+            pos, landing = sk.qoa_seek(src[st.body_start - 8:], seconds)
+            off = pos - 8
+        elif codec in ("ulaw", "alaw"):
+            off, landing = sk.g711_seek(seconds, spec.sample_rate,
+                                        spec.channels)
+        elif codec == "ima":
+            off, landing = sk.ima_seek(seconds, spec.sample_rate,
+                                       spec.block_align, spec.channels)
+        elif codec == "msadpcm":
+            off, landing = sk.msadpcm_seek(seconds, spec.sample_rate,
+                                           spec.block_align, spec.channels)
+        else:  # pcm8/8u/16/24/32/f32 (+be)
+            depth = {"pcm8": 8, "pcm8u": 8, "pcm16": 16, "pcm24": 24,
+                     "pcm32": 32, "f32": 32}[codec.removesuffix("be")]
+            off, landing = sk.pcm_seek(seconds, spec.sample_rate,
+                                       spec.channels, depth)
+        off = min(off, len(body))
+        self._restore_lane_at(lane, off, landing, None, 0.0)
+        self.engine.feed(lane, body[off:])
+        self.engine.feed(lane, None)
+        st.fed = len(src)
+        return landing
+
+    def _seek_dfpwm_lane(self, lane: int, body: bytes, off: int,
+                         landing: float):
+        """Reconstruct a DFPWM lane's exact decoder state at byte ``off`` by
+        decoding the prefix (host fast path), then feed the tail."""
+        from ..codecs.dfpwm import decode_dfpwm_bytes
+
+        if off:
+            samples, state = decode_dfpwm_bytes(body[:off])
+            cs = [np.asarray(getattr(state, f))[0]
+                  for f in ("charge", "strength", "previous_bit",
+                            "previous_charge", "lowpass")]
+            last = float(samples[-1])
+            fir = np.float32(last / (128.0 if last < 0 else 127.0))
+        else:
+            cs, fir = None, 0.0
+        self._restore_lane_at(lane, off, landing, cs, float(fir))
+        self.engine.feed(lane, body[off:])
+        self.engine.feed(lane, None)
+
+    def _restore_lane_at(self, lane: int, byte_offset: int, landing: float,
+                         codec_state, fir: float):
+        gi, slot = self.engine._lane_map[lane]
+        g = self.engine.groups[gi]
+        vol = (float(g.gain0[slot]), float(g.gain1[slot]))
+        # seek keeps the lane's DSP CONFIG (filter kind/cutoff, normalize
+        # gain, mono toggle) and resets only the transient filter state —
+        # it rewarms at the landing like the FIR does
+        dsp = {"kind": int(g.lp_kind[slot]), "alpha": float(g.lp_a[slot]),
+               "norm_gain": float(g.norm_gain[slot]),
+               "mono": bool(g.mono_sel[slot]),
+               "started": False, "y": 0.0, "x": 0.0}
+        self.engine.restore(lane, {
+            "byte_offset": byte_offset, "pending": b"", "eof": False,
+            "codec_state": codec_state, "fir_state": fir, "volume": vol,
+            "dsp": dsp,
+        })
+        g.samples_out[slot] = int(round(landing * CONFIG.output_rate))
 
     # -- checkpoint / resume (SURVEY.md §5.4) --------------------------------------
     def checkpoint(self, station: int) -> dict:

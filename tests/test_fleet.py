@@ -512,3 +512,171 @@ def test_fleet_dsp_passthrough_and_honest_flac_errors():
     eng_only.normalize(0.8)
     outs = collect(eng_only)
     assert outs[0].shape[-1] > 0
+
+
+# -- station lifecycle + seek (VERDICT r4 item 4) ----------------------------------
+
+def test_fleet_reset_station_rotates_sources():
+    """A finished station's lane slots host a NEW source without rebuilding
+    the fleet (the radio-server rotation, reference reusable speaker model);
+    ``source=None`` replays the retained source. Post-rotation windows are
+    bit-equal to a fresh fleet on the new sources."""
+    dspec = LaneSpec("dfpwm", 48000)
+    dfp_a = RNG.integers(0, 256, 9000, dtype=np.uint8).tobytes()
+    dfp_b = RNG.integers(0, 256, 7000, dtype=np.uint8).tobytes()
+    wav = ak.tone(440, 1.0, 0.5, "sine", sample_rate=24000).wav(16)
+    fl_a = make_flac(48000, 6, seed=60)
+    fl_b = make_flac(48000, 9, seed=61)
+    mdf_a, _ = make_mdfpwm(2)
+    mdf_b, _ = make_mdfpwm(3)
+
+    fleet = Fleet([(dspec, dfp_a), wav, fl_a, mdf_a])
+    first = collect(fleet)
+    fleet.reset_station(0, (dspec, dfp_b))
+    fleet.reset_station(1)          # replay the retained WAV from the start
+    fleet.reset_station(2, fl_b)
+    fleet.reset_station(3, mdf_b)
+    second = collect(fleet)
+    fresh = collect(Fleet([(dspec, dfp_b), wav, fl_b, mdf_b]))
+    for got, exp in zip(second, fresh):
+        np.testing.assert_array_equal(got, exp)
+    np.testing.assert_array_equal(second[1], first[1])  # replay == original
+
+
+def test_fleet_reset_station_guards():
+    """Kind and lane-spec mismatches reject loudly (lane slots are fixed at
+    construction); live stations with no retained source reject replay."""
+    wav = ak.tone(440, 0.5, 0.5, "sine", sample_rate=24000).wav(16)
+    fl = make_flac(48000, 4, seed=63)
+    fleet = Fleet([wav, fl])
+    collect(fleet)
+    with pytest.raises(ValueError, match="kind|detects"):
+        fleet.reset_station(0, fl)
+    with pytest.raises(ValueError, match="spec"):
+        fleet.reset_station(0, ak.tone(440, 0.5, 0.5, "sine",
+                                       sample_rate=48000).wav(16))
+    live = Fleet([wav[:2048]], eof=False)
+    with pytest.raises(ValueError, match="retained"):
+        live.reset_station(0)
+
+
+def test_fleet_seek_dfpwm_bit_exact():
+    """DFPWM seek reconstructs the out-of-band decoder state from the byte
+    prefix (host fast path): post-seek windows are bit-identical to the
+    continuous decode from the landing."""
+    dspec = LaneSpec("dfpwm", 48000)
+    dfp = RNG.integers(0, 256, 24000, dtype=np.uint8).tobytes()  # 4 s
+    full = collect(Fleet([(dspec, dfp)]))[0]
+    fleet = Fleet([(dspec, dfp)])
+    collect(fleet)
+    landing = fleet.seek(0, 2.0)
+    assert landing == 2.0
+    got = collect(fleet)[0]
+    np.testing.assert_array_equal(got, full[96000:])
+    # seeking an un-drained fleet also works (reposition mid-decode)
+    fleet.seek(0, 1.0)
+    got1 = collect(fleet)[0]
+    np.testing.assert_array_equal(got1, full[48000:])
+
+
+def test_fleet_seek_mdfpwm_bit_exact():
+    """MDFPWM seek repositions BOTH DFPWM lanes (prefix-decoded state) and
+    the merged station windows match the continuous decode."""
+    data, _ = make_mdfpwm(4)
+    full = collect(Fleet([data]))[0]
+    fleet = Fleet([data])
+    collect(fleet)
+    landing = fleet.seek(0, 1.0)
+    assert landing == 1.0
+    got = collect(fleet)[0]
+    np.testing.assert_array_equal(got, full[48000:])
+
+
+def test_fleet_seek_flac_frame_aligned():
+    """FLAC seek lands on a validated frame boundary at or before the target
+    (warmup is in-band): post-seek windows equal the solo decode from the
+    landing sample."""
+    fl = make_flac(48000, 110, seed=62)
+    solo = np.clip(solo_reference(fl), -128, 127).astype(np.int8)
+    fleet = Fleet([fl])
+    collect(fleet)
+    landing = fleet.seek(0, 1.0)
+    assert 0.0 < landing <= 1.0
+    s0 = int(round(landing * 48000))
+    got = collect(fleet)[0]
+    exp = solo[s0:]
+    np.testing.assert_array_equal(got[: len(exp)], exp)
+    assert not got[len(exp):].any()  # zero-padded final window only
+
+
+def test_fleet_seek_wav_pcm_sample_exact():
+    """PCM-in-WAV seek is sample-exact: the landing byte offset decodes
+    exactly like a fresh lane on the body tail, and matches the continuous
+    decode once the 2-tap smoothing rewarms (chunk boundaries align)."""
+    wav = ak.tone(440, 3.0, 0.5, "sine", sample_rate=24000).wav(16)
+    full = collect(Fleet([wav]))[0]
+    fleet = Fleet([wav])
+    collect(fleet)
+    landing = fleet.seek(0, 2.0)
+    assert landing == 2.0
+    got = collect(fleet)[0]
+    from aukit_tpu.stream.batch_codecs import lane_spec_for_wav
+
+    spec, off, size = lane_spec_for_wav(wav)
+    body = wav[off: off + size]
+    fresh = collect(Fleet([(spec, body[2 * 24000 * 2:])]))[0]
+    np.testing.assert_array_equal(got, fresh)
+    # beyond the first chunk the carries agree with the continuous decode
+    np.testing.assert_array_equal(got[48000:], full[144000:])
+    np.testing.assert_allclose(got[:48000].astype(np.int32),
+                               full[96000:144000].astype(np.int32), atol=2)
+
+
+def test_fleet_seek_qoa_frame_aligned():
+    """QOA seek walks the length-prefixed frame headers (LMS state in-band):
+    the landing is frame-aligned and post-seek decode matches a fresh lane
+    fed from the landing frame."""
+    qrate = 10240
+    qoa = fixtures.qoa_stream(RNG, 1, qrate, [5120, 5120, 5120])
+    fleet = Fleet([qoa])
+    collect(fleet)
+    landing = fleet.seek(0, 1.0)
+    assert landing == 2 * 5120 / qrate  # exactly two frames in
+    got = collect(fleet)[0]
+    from aukit_tpu.stream.batch_codecs import lane_spec_for_qoa
+
+    spec, off, _sz = lane_spec_for_qoa(qoa)
+    pos, _ = __import__("aukit_tpu.stream.seek", fromlist=["qoa_seek"]) \
+        .qoa_seek(qoa, 1.0)
+    fresh = collect(Fleet([(spec, qoa[pos:])]))[0]
+    np.testing.assert_array_equal(got, fresh)
+
+
+def test_fleet_seek_keeps_volume_and_dsp_config():
+    """Seek preserves the lane's volume and DSP CONFIG (filter kind/cutoff)
+    while resetting only transient filter state."""
+    dspec = LaneSpec("dfpwm", 48000)
+    dfp = RNG.integers(0, 256, 12000, dtype=np.uint8).tobytes()
+    fleet = Fleet([(dspec, dfp)])
+    fleet.set_volume(0, 0.5)
+    fleet.set_filter(0, "lowpass", 6000)
+    collect(fleet)
+    fleet.seek(0, 1.0)
+    g = fleet.engine.groups[0]
+    assert float(g.gain1[0]) == 0.5
+    assert int(g.lp_kind[0]) == 1 and float(g.lp_a[0]) > 0
+    ref = Fleet([(dspec, dfp)])
+    ref.set_volume(0, 0.5)
+    ref.set_filter(0, "lowpass", 6000)
+    full = collect(ref)[0]
+    got = collect(fleet)[0]
+    # filter state rewarms at the landing: equality from the second window
+    np.testing.assert_array_equal(got[48000:], full[96000:])
+    assert len(got) == len(full) - 48000
+
+
+def test_fleet_seek_requires_retained_source():
+    wav = ak.tone(440, 0.5, 0.5, "sine", sample_rate=24000).wav(16)
+    live = Fleet([wav], eof=False)
+    with pytest.raises(ValueError, match="eof station"):
+        live.seek(0, 0.1)
