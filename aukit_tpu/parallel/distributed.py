@@ -25,6 +25,7 @@ same code path scales to real multi-host TPU slices.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..codecs.dfpwm import DfpwmState
@@ -92,3 +93,135 @@ def multihost_pipeline_step(mesh: jax.sharding.Mesh, lanes_per_process: int,
         return g_bytes, g_state
 
     return step_fn, to_global
+
+
+class MultiHostEngine:
+    """One spec-group of ``BatchStreamEngine`` lanes sharded across PROCESSES
+    (VERDICT r4 item 5 — multi-host for the production engines, not just the
+    flagship scan).
+
+    Each process owns ``lanes_per_process`` contiguous lanes: it feeds their
+    bytes locally (``feed``/``feed_many``), and every ``step()`` is ONE
+    global sharded dispatch of the group's production step function — the
+    same ``_Group._build_step`` graph the single-process engine compiles,
+    shard_map'd over the global mesh (``use_pallas`` stays available: each
+    device runs the kernel on its own lane shard, zero collectives).
+    Ingestion crosses the host boundary per group via
+    ``jax.make_array_from_process_local_data``: each host's staged
+    ``uint8[L_local, in_bytes]`` block becomes its local shards of the global
+    ``[lanes, in_bytes]`` array (SURVEY.md §5.8 "DCN for multi-host ingest
+    fan-out"); decoder state lives as global arrays carried step to step, so
+    audio and state never leave the devices.
+
+    Contract:
+      - every process calls ``step()`` in LOCKSTEP (a global dispatch needs
+        every process). A process whose lanes are all starved/finished still
+        participates — its stage is fully masked, bit-preserving its lanes'
+        state (the engine's ready-mask semantics).
+      - ``step()`` returns (global int8 chunk [lanes, T] / [lanes, C, T],
+        local ready mask, local positions); ``local_rows(chunk)`` fetches
+        only this process's addressable rows.
+      - ``global_done()`` is the one-scalar agreement (a jitted all-reduce
+        over per-process done flags).
+
+    Heterogeneous fleets run one MultiHostEngine per spec group — exactly
+    the single-process engine's per-group dispatch structure (groups never
+    share a device op; the 1-second window merge is consumer-side there).
+    """
+
+    def __init__(self, spec, lanes_per_process: int, mesh=None,
+                 use_pallas: bool | None = False, mono: bool = True,
+                 interpolation: str | None = None):
+        from ..config import CONFIG, get_interpolation
+        from ..stream.batch import _Group, _GroupIO
+
+        self.npr = jax.process_count()
+        self.pid = jax.process_index()
+        self.lanes_local = int(lanes_per_process)
+        self.lanes = self.lanes_local * self.npr
+        self.mesh = mesh if mesh is not None else global_mesh()
+        ndev = self.mesh.devices.size
+        if self.lanes % ndev:
+            raise ValueError(
+                f"total lanes {self.lanes} must divide the {ndev}-device "
+                "mesh (pad lanes_per_process)")
+        self._g = _Group(spec, np.arange(self.lanes), self.mesh, use_pallas,
+                         CONFIG.output_rate, mono=mono,
+                         mode=get_interpolation(interpolation))
+        self._io = _GroupIO(self.lanes_local, self._g.in_bytes)
+        # promote the group's carried state to GLOBAL arrays: local shard =
+        # this process's lane block (zeros, same as _Group's init)
+        self._g.fir = self._glob(np.zeros(
+            (self.lanes_local,) + tuple(self._g.fir.shape[1:]), np.float32))
+        self._g._state_leaves = [
+            self._glob(np.zeros((self.lanes_local,) + tuple(l.shape[1:]),
+                                np.asarray(l).dtype))
+            for l in self._g._state_leaves
+        ]
+        self.samples_in = np.zeros(self.lanes_local, np.int64)
+        self.samples_out = np.zeros(self.lanes_local, np.int64)
+        self._all_fn = jax.jit(jnp.all)
+
+    def _glob(self, local: np.ndarray):
+        """Process-local block -> global lane-sharded array (the per-group
+        make_array_from_process_local_data ingestion)."""
+        local = np.ascontiguousarray(local)
+        P = jax.sharding.PartitionSpec
+        axes = tuple(self.mesh.axis_names)
+        sh = jax.sharding.NamedSharding(
+            self.mesh, P(axes, *([None] * (local.ndim - 1))))
+        gshape = (self.lanes,) + local.shape[1:]
+        return jax.make_array_from_process_local_data(sh, local, gshape)
+
+    # -- ingestion (this process's lanes only) -------------------------------
+    def feed(self, local_lane: int, data: bytes | None):
+        self._io.feed_lane(local_lane, data)
+
+    def feed_many(self, datas):
+        for lane, d in enumerate(datas):
+            self._io.feed_lane(lane, d)
+
+    @property
+    def local_done(self) -> bool:
+        return self._io.exhausted
+
+    def global_done(self) -> bool:
+        """True when EVERY process's lanes are exhausted (one tiny jitted
+        all-reduce; call in lockstep like step())."""
+        flags = np.full(self.lanes_local, self._io.exhausted, bool)
+        return bool(self._all_fn(self._glob(flags)))
+
+    # -- the global step -----------------------------------------------------
+    def step(self):
+        """ONE global sharded dispatch (lockstep across processes). Returns
+        (global device chunk, local ready bool[L_local], local positions
+        f64[L_local] at chunk start)."""
+        st = self._io.stage()
+        if st is None:
+            staged = np.zeros((self.lanes_local, self._g.in_bytes), np.uint8)
+            ready = np.zeros(self.lanes_local, bool)
+            consumed = np.zeros(self.lanes_local, np.int64)
+        else:
+            staged, ready, consumed, _under = st
+            staged = np.ascontiguousarray(np.asarray(staged))
+        positions = self.samples_in / self._g.spec.sample_rate
+        g_bytes = self._glob(staged)
+        g_mask = self._glob(ready[:, None])
+        fn = self._g._step_fns[(False, False)]
+        out, fir, *leaves = fn(g_bytes, g_mask, self._g.fir,
+                               *self._g._state_leaves)
+        self._g.fir = fir
+        self._g._state_leaves = leaves
+        self.samples_in += np.where(
+            ready, (consumed * self._g.in_samples) // self._g.in_bytes, 0)
+        self.samples_out += np.where(ready, self._g.out_samples, 0)
+        return out, ready, positions
+
+    def local_rows(self, chunk) -> np.ndarray:
+        """Fetch ONLY this process's rows of a global chunk to the host."""
+        rows = np.zeros((self.lanes_local,) + chunk.shape[1:], chunk.dtype)
+        lo = self.pid * self.lanes_local
+        for shard in chunk.addressable_shards:
+            s = shard.index[0]
+            rows[s.start - lo: s.stop - lo] = np.asarray(shard.data)
+        return rows

@@ -49,3 +49,39 @@ for shard in out[0].addressable_shards:
     rows = range(shard.index[0].start or 0, shard.index[0].stop or 2 * LANES)
     np.testing.assert_array_equal(np.asarray(shard.data), ref_np[list(rows)])
 print(f"DIST_OK {pid}", flush=True)
+
+# -- engine case (VERDICT r4 item 5): the PRODUCTION BatchStreamEngine group,
+# lanes split across the two processes. Each process feeds only its own
+# lanes; every step is one global sharded dispatch with
+# make_array_from_process_local_data ingestion and global carried state.
+# Every local row / mask / position must be BIT-identical to the
+# single-process engine over the union of the feeds.
+from aukit_tpu.stream.batch import BatchStreamEngine, LaneSpec  # noqa: E402
+
+LANES_E, NB = 8, 1500  # 2 chunks/lane -> decoder state carries across steps
+spec = LaneSpec("dfpwm", 48000, chunk_bytes=750)
+eng = dist.MultiHostEngine(spec, LANES_E, mesh=mesh, use_pallas=False)
+all_feed = rng.integers(0, 256, (2 * LANES_E, NB), dtype=np.uint8)
+lo = pid * LANES_E
+for i in range(LANES_E):
+    eng.feed(i, all_feed[lo + i].tobytes())
+    eng.feed(i, None)
+
+ref = BatchStreamEngine([spec] * (2 * LANES_E), use_pallas=False)
+for i in range(2 * LANES_E):
+    ref.feed(i, all_feed[i].tobytes())
+    ref.feed(i, None)
+
+steps = 0
+while not eng.global_done():
+    out, ready, pos = eng.step()
+    rr = ref.step()
+    assert rr is not None
+    rchunk, rmask, rpos = rr
+    np.testing.assert_array_equal(eng.local_rows(out),
+                                  np.asarray(rchunk)[lo: lo + LANES_E])
+    np.testing.assert_array_equal(ready, rmask[lo: lo + LANES_E])
+    np.testing.assert_array_equal(pos, rpos[lo: lo + LANES_E])
+    steps += 1
+assert steps == 2 and ref.step() is None
+print(f"DIST_ENGINE_OK {pid}", flush=True)

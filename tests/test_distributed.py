@@ -31,7 +31,7 @@ def test_two_process_sharded_pipeline():
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=150)
+            out, _ = p.communicate(timeout=300)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -40,3 +40,4 @@ def test_two_process_sharded_pipeline():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"DIST_OK {i}" in out
+        assert f"DIST_ENGINE_OK {i}" in out  # MultiHostEngine bit-identity
