@@ -588,16 +588,25 @@ class _Group:
         if fn is None:
             fn = self._step_fns[(with_gain, with_dsp)] = self._build_step(
                 self._out_rate, with_gain, with_dsp)
+        # Host arrays that are LATER MUTATED IN PLACE (the post-step gain0
+        # handoff below, set_volume/set_filter/... between steps) must go to
+        # the device as SNAPSHOT COPIES: jnp.asarray enqueues an ASYNC host
+        # read, so handing it a live buffer races the mutation (seen as the
+        # ramp lane decoding a whole chunk at its POST-ramp gain under CPU
+        # load). Fresh per-step arrays (ready, gs, staged) need no copy.
         args = [dev, jnp.asarray(ready_dev[:, None]), self.fir]
         if with_gain:
             # volume ramp: slope per OUTPUT sample across this chunk's
             # nominal window; once a lane decodes, its ramp completes
             gs = (self.gain1 - self.gain0) / np.float32(self.out_samples)
-            args += [jnp.asarray(self.gain0), jnp.asarray(gs)]
+            args += [jnp.asarray(self.gain0.copy()), jnp.asarray(gs)]
         if with_dsp:
-            args += [jnp.asarray(self.norm_gain), jnp.asarray(self.lp_kind),
-                     jnp.asarray(self.lp_a), jnp.asarray(self.mono_sel),
-                     jnp.asarray(self.filt_started), self.filt_y, self.filt_x]
+            args += [jnp.asarray(self.norm_gain.copy()),
+                     jnp.asarray(self.lp_kind.copy()),
+                     jnp.asarray(self.lp_a.copy()),
+                     jnp.asarray(self.mono_sel.copy()),
+                     jnp.asarray(self.filt_started.copy()),
+                     self.filt_y, self.filt_x]
         out, fir, *state = fn(*args, *self._state_leaves)
         if with_gain:
             self.gain0[: self.lanes] = np.where(
@@ -851,7 +860,7 @@ class BatchStreamEngine:
                     ready_dev = np.pad(ready, (0, g.pad))
                 m, *leaves = fn(jnp.asarray(staged),
                                 jnp.asarray(ready_dev[:, None]),
-                                jnp.asarray(g.mono_sel), *leaves)
+                                jnp.asarray(g.mono_sel.copy()), *leaves)
                 peaks = np.maximum(peaks, np.asarray(m)[: g.lanes])
             g.norm_gain[: g.lanes] = np.where(
                 peaks > 0, peak / peaks, 1.0).astype(np.float32)

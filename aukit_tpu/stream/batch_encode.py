@@ -339,8 +339,10 @@ class _EncGroup:
         if with_gain:
             T = x.shape[-1]
             gs = (self.gain1 - self.gain0) / np.float32(T)
+            # gain0 is mutated in place below and by set_volume: snapshot it
+            # (jnp.asarray's host read is async — see _Group.step)
             out, *state = fn(dev, jnp.asarray(ready_dev[:, None]),
-                             jnp.asarray(self.gain0), jnp.asarray(gs),
+                             jnp.asarray(self.gain0.copy()), jnp.asarray(gs),
                              *self.state)
             self.gain0[: self.lanes] = np.where(
                 ready, self.gain1[: self.lanes], self.gain0[: self.lanes])
