@@ -93,6 +93,28 @@ def _dev_pop(fifo, take: int, count: int):
     return window, fifo[..., take:]
 
 
+@functools.partial(jax.jit, static_argnames=("take", "count", "smax"))
+def _dev_pop_skip(fifo, skip, take: int, count: int, smax: int):
+    """Per-lane-cursor pop: lane l reads columns [skip[l], skip[l]+count) —
+    lanes whose cursor rides AHEAD of the FIFO front (a mid-stream
+    seek/reset discarded their stale prefix) deliver their own timeline
+    while the group front advances in lockstep. Columns beyond the fill are
+    zeros (EOF tail only; _step_mixed holds pops until fill covers
+    smax+count otherwise)."""
+    fill = fifo.shape[-1]
+    need = smax + count
+    if fill < need:
+        pad = ((0, 0),) * (fifo.ndim - 1) + ((0, need - fill),)
+        fifo_p = jnp.pad(fifo, pad)
+    else:
+        fifo_p = fifo
+    idx = skip[:, None] + jnp.arange(count, dtype=skip.dtype)  # [L, count]
+    if fifo.ndim == 3:
+        idx = idx[:, None, :]
+    window = jnp.take_along_axis(fifo_p, idx, axis=-1)
+    return window, fifo[..., take:]
+
+
 @functools.partial(jax.jit, static_argnames=("cmax",))
 def _dev_padch(w, cmax: int):
     """[L, C, T] -> [L, cmax, T]: missing channels replicate channel 0 — the
@@ -378,9 +400,10 @@ class _Group:
         # bit-exactly the ungained stream (x * 1.0 in f32)
         self.gain0 = np.ones(self.dlanes, np.float32)
         self.gain1 = np.ones(self.dlanes, np.float32)
-        # per-lane native-rate DSP stage (VERDICT r4 item 3 — the batched
-        # auplay.lua:20-31 pipeline: mono -> normalize -> one-pole filter,
-        # applied to the decoded float stream BEFORE the playback resample):
+        # per-lane native-rate DSP stage (VERDICT r4 item 3 — auplay.lua:20-31
+        # stage order: mono -> normalize -> one-pole filter, applied to the
+        # decoded float stream BEFORE the playback resample; auplay itself
+        # filters AFTER its 48k resample — see set_filter's docstring):
         #  - lp_kind: 0 none, 1 lowpass (aukit.lua:3586), 2 highpass (:3604)
         #  - lp_a: the filter's alpha at the lane's native rate
         #  - norm_gain: whole-file normalize multiplier (engine.normalize)
@@ -398,10 +421,16 @@ class _Group:
         self._state_leaves, self._state_def = jax.tree_util.tree_flatten(state)
         self.samples_in = np.zeros(self.lanes, np.int64)  # input samples consumed
         self.samples_out = np.zeros(self.lanes, np.int64)  # output samples emitted
-        # mixed-engine output FIFO (lockstep across the group's lanes)
+        # mixed-engine output FIFO (lockstep across the group's lanes).
+        # ``spans`` are [start, end, ready_mask] column ranges relative to
+        # the CURRENT front; ``skip`` is each lane's read cursor — normally
+        # 0, set to the live fill by a mid-stream seek/reset so the lane's
+        # stale undelivered columns are discarded instead of played
+        # (cursors rebase to 0 whenever the FIFO fully drains)
         self.fifo: np.ndarray | None = None
         self.fill = 0
-        self.spans: collections.deque[tuple[int, np.ndarray]] = collections.deque()
+        self.spans: collections.deque[list] = collections.deque()
+        self.skip = np.zeros(self.lanes, np.int64)
         self._sharding = None
         if mesh is not None:
             P = jax.sharding.PartitionSpec
@@ -613,7 +642,12 @@ class _Group:
                 ready, self.gain1[: self.lanes], self.gain0[: self.lanes])
         if with_dsp:
             self.filt_y, self.filt_x, *state = state
-            self.filt_started[: self.lanes] |= ready
+            # only FILTERED lanes have warmed their recurrence — a lane that
+            # merely rode a DSP-active group step (e.g. normalize-only) must
+            # still get the reference's y[0]=x[0] first-sample pass-through
+            # when a filter is enabled on it later
+            self.filt_started[: self.lanes] |= (
+                ready & (self.lp_kind[: self.lanes] != 0))
         self.fir = fir
         self._state_leaves = state
         self.samples_in += np.where(ready, (consumed * self.in_samples) // self.in_bytes, 0)
@@ -626,35 +660,46 @@ class _Group:
             self.fifo = out_dev
         else:
             self.fifo = _dev_push(self.fifo, out_dev)  # async jitted dispatch
+        self.spans.append([self.fill, self.fill + out_dev.shape[-1], ready])
         self.fill += out_dev.shape[-1]
-        self.spans.append((out_dev.shape[-1], ready))
 
     def fifo_pop(self, count: int):
         """Pop ``count`` samples (zero-padded if short). Returns
         (int8[L, count] device array, had_real bool[L] host). The fifo array
         length always equals ``fill``; pop is one jitted dispatch (eager slice
-        chains cost a full round trip each on remote-TPU links)."""
+        chains cost a full round trip each on remote-TPU links). Lane l reads
+        its window at its own cursor [skip[l], skip[l]+count) — see the
+        ``skip`` note in __init__."""
         take = min(count, self.fill)
-        if take:
-            window, self.fifo = _dev_pop(self.fifo, take=take, count=count)
-            self.fill -= take
-        else:
+        smax = int(self.skip.max())
+        if take == 0:
             # device width: sharded groups carry pad rows (window widths must
             # match the dlanes-based offsets in _inv_perm_dev)
             shape = ((self.dlanes, count) if self.mono
                      else (self.dlanes, self.out_ch, count))
             window = jnp.zeros(shape, jnp.int8)
+        elif smax == 0:
+            window, self.fifo = _dev_pop(self.fifo, take=take, count=count)
+        else:
+            skip_dev = jnp.asarray(np.pad(self.skip, (0, self.pad)))
+            window, self.fifo = _dev_pop_skip(
+                self.fifo, skip_dev, take=take, count=count, smax=smax)
+        self.fill -= take
+        # per-lane real-audio accounting: a span contributes to lane l iff
+        # it overlaps the lane's OWN read range
         had_real = np.zeros(self.lanes, bool)
-        remaining = take
-        while remaining > 0 and self.spans:
-            n, mask = self.spans[0]
-            had_real |= mask
-            if n <= remaining:
-                self.spans.popleft()
-                remaining -= n
-            else:
-                self.spans[0] = (n - remaining, mask)
-                remaining = 0
+        lo = self.skip
+        for start, end, mask in self.spans:
+            had_real |= mask & (lo < end) & (lo + count > start)
+        for sp in self.spans:
+            sp[0] -= take
+            sp[1] -= take
+        while self.spans and self.spans[0][1] <= 0:
+            self.spans.popleft()
+        if self.fill == 0:  # fully drained: rebase every cursor
+            self.fifo = None
+            self.skip[:] = 0
+            self.spans.clear()
         self.samples_out += np.where(had_real, count, 0)
         return window, had_real
 
@@ -792,12 +837,19 @@ class BatchStreamEngine:
     # -- per-lane DSP stages (VERDICT r4 item 3: the batched auplay chain) ----
     def set_filter(self, lane: int, kind: str | None, cutoff: float = 0.0):
         """Per-lane one-pole filter at the lane's NATIVE rate, applied to the
-        decoded float stream before the playback resample (the reference
-        auplay order, auplay.lua:20-31). ``kind`` is "lowpass"
-        (aukit.lua:3586) or "highpass" (aukit.lua:3604); None clears the
-        filter. Alphas use the reference formulas; the recurrence evaluates
-        as an associative scan with chunk-carried state (same documented
-        reassociation tolerance as effects.lowpass/highpass)."""
+        decoded float stream before the playback resample. Stage ORDER matches
+        auplay's chain (mono -> normalize -> filter, auplay.lua:20-31), but
+        auplay resamples to 48 kHz FIRST (auplay.lua:21) and filters at 48
+        kHz; here the filter runs pre-resample, so ``cutoff`` is interpreted
+        against the lane's native rate — identical to solo
+        ``stream.* -> effects.lowpass`` at native rate, and a (slightly)
+        different one-pole response than post-resample filtering for non-48k
+        lanes (documented deviation; filtering before decimation also avoids
+        folding the stopband). ``kind`` is "lowpass" (aukit.lua:3586) or
+        "highpass" (aukit.lua:3604); None clears the filter. Alphas use the
+        reference formulas; the recurrence evaluates as an associative scan
+        with chunk-carried state (same documented reassociation tolerance as
+        effects.lowpass/highpass)."""
         gi, slot = self._lane_map[lane]
         g = self.groups[gi]
         rate = g.spec.sample_rate
@@ -812,6 +864,15 @@ class BatchStreamEngine:
             g.lp_a[slot] = 1.0 / (2.0 * np.pi * (cutoff / rate) + 1.0)
         else:
             raise ValueError(f"unknown filter kind {kind!r}")
+        # a (re-)configured filter starts a fresh recurrence: next chunk gets
+        # the reference's y[0]=x[0] first-sample pass-through instead of
+        # chaining from a previous filter epoch's (or zero) carried state
+        g.filt_started[slot] = False
+        fy = np.asarray(g.filt_y).copy()
+        fx = np.asarray(g.filt_x).copy()
+        fy[slot] = 0.0
+        fx[slot] = 0.0
+        g.filt_y, g.filt_x = jnp.asarray(fy), jnp.asarray(fx)
 
     def set_mono(self, lane: int, on: bool = True):
         """Per-lane mono-mix toggle for ``mono=False`` engines: the lane's
@@ -937,7 +998,10 @@ class BatchStreamEngine:
         out_rate = CONFIG.output_rate
         progressed = False
         for g in self.groups:
-            while g.fill < out_rate:
+            # lanes whose cursor rides ahead (mid-stream seek/reset) need the
+            # FIFO to cover skip+window before a pop stays pad-free
+            need = out_rate + int(g.skip.max())
+            while g.fill < need:
                 r = g.decode_once()
                 if r is None:
                     break
@@ -952,7 +1016,8 @@ class BatchStreamEngine:
         windows = []
         for g in self.groups:
             positions[g.slots] = g.samples_out / out_rate
-            if g.fill >= out_rate or (g.io.exhausted and g.fill > 0):
+            need = out_rate + int(g.skip.max())
+            if g.fill >= need or (g.io.exhausted and g.fill > 0):
                 got, had_real = g.fifo_pop(out_rate)
             else:
                 # starved (not exhausted): hold the partial FIFO — popping it
@@ -1015,6 +1080,10 @@ class BatchStreamEngine:
     def restore(self, lane: int, ckpt: dict):
         gi, slot = self._lane_map[lane]
         g = self.groups[gi]
+        # a live restore (Fleet seek / station rotation) abandons the lane's
+        # undelivered group-FIFO columns — they belong to the OLD timeline.
+        # The cursor discards them lane-locally; other lanes are untouched
+        g.skip[slot] = g.fill
         g.samples_in[slot] = ckpt["byte_offset"] * g.in_samples // g.in_bytes
         g.io.replace_lane(slot, ckpt["pending"], ckpt["eof"])
         if g._state_leaves:

@@ -47,6 +47,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..codecs.dfpwm import DfpwmState, dfpwm_encode
+from ..ops.pcmcode import denormalize_pcm
 from .batch import BatchMetrics, _GroupIO
 
 __all__ = ["BatchDfpwmEncoder", "BatchEncodeEngine", "EncodeSpec",
@@ -176,26 +177,20 @@ def _int8_lut(codec: str) -> np.ndarray:
     construction."""
     w = np.arange(-128, 128, dtype=np.float64)
     d = (w / np.where(w < 0, 128.0, 127.0)).astype(np.float32).astype(np.float64)
-    if codec == "dfpwm":
-        scaled = d * np.where(d < 0, 128.0, 127.0)
-    else:
-        b = _DEPTH[codec]
-        mv = float(1 << (b - 1))
-        scaled = d * np.where(d < 0, mv, mv - 1.0) + (mv if b == 8 else 0.0)
-    return np.trunc(scaled).astype(np.int64).astype(np.int32)
+    return float_to_target_ints(d, codec)
 
 
 def float_to_target_ints(samples, codec: str) -> np.ndarray:
     """Host-side exact conversion: float [-1, 1] samples -> target ints via
-    the solo writers' f64 path (encodePCM aukit.lua:868-874 numerics; DFPWM
-    levels per Audio:dfpwm, aukit.lua:1005)."""
+    the solo writers' f64 path (encodePCM aukit.lua:868-874 numerics via
+    ops/pcmcode.denormalize_pcm — the ONE place the unsigned-bias/trunc
+    ordering lives; DFPWM levels per Audio:dfpwm, aukit.lua:1005)."""
     d = np.asarray(samples, dtype=np.float64)
     if codec == "dfpwm":
-        scaled = d * np.where(d < 0, 128.0, 127.0)
+        scaled = denormalize_pcm(d, 8, "signed")
     else:
         b = _DEPTH[codec]
-        mv = float(1 << (b - 1))
-        scaled = d * np.where(d < 0, mv, mv - 1.0) + (mv if b == 8 else 0.0)
+        scaled = denormalize_pcm(d, b, "unsigned" if b == 8 else "signed")
     return np.trunc(scaled).astype(np.int64).astype(np.int32)
 
 
@@ -288,10 +283,14 @@ class _EncGroup:
             if kind == "win":
                 if with_gain:
                     # f32 path (documented rounding): normalize, per-sample
-                    # linear gain line, denormalize, trunc
+                    # linear gain line, saturate, denormalize, trunc. The
+                    # clip matches the decode chain's int8 saturation
+                    # (parallel/pipeline.py) — without it |gain*x| > 1 would
+                    # wrap two's-complement in the int cast
                     d = x.astype(jnp.float32) / jnp.where(x < 0, 128.0, 127.0)
                     t = jnp.arange(x.shape[-1], dtype=jnp.float32)
                     d = d * (g0[:, None, None] + gs[:, None, None] * t)
+                    d = jnp.clip(d, -1.0, 1.0)
                     scaled = d * jnp.where(d < 0, mv, mv - 1.0) + add
                     vals = scaled.astype(jnp.int32)
                 else:  # bit-exact LUT gather
@@ -361,8 +360,10 @@ class _EncGroup:
             raise ValueError(
                 f"lane expects {self.spec.channels} channels, got {s.shape[0]}")
         g = float(self.gain1[slot])
-        if g != 1.0:  # host path: instantaneous gain at feed time (no ramp)
-            s = s * g
+        if g != 1.0:  # host path: instantaneous gain at feed time (no ramp);
+            # saturate like the device gain path (ungained feeds stay on the
+            # solo writers' unclipped path for bit-equality)
+            s = np.clip(s * g, -1.0, 1.0)
         self.pend[slot].append(float_to_target_ints(s, self.spec.codec))
         self.sizes[slot] += s.shape[1]
 
@@ -487,6 +488,7 @@ class BatchEncodeEngine:
         T = windows.shape[-1]
         outs = []
         widths = []
+        positions = np.zeros(self.lanes, np.float64)
         for g in self.groups:
             if windows.shape[1] != g.spec.channels:
                 raise ValueError(
@@ -500,12 +502,14 @@ class BatchEncodeEngine:
             width = lv // 8 if g.spec.codec == "dfpwm" else out.shape[-1]
             outs.append(out)
             widths.append(width)
+            # positions report the CHUNK-START second (the decode engines'
+            # and step()'s convention), so decode/encode positions align on
+            # the glue path
+            positions[g.slots] = g.samples_in / g.spec.sample_rate
             g.samples_in += np.where(ready, T, 0)
         nbytes = np.zeros(self.lanes, np.int64)
-        positions = np.zeros(self.lanes, np.float64)
         for g, width in zip(self.groups, widths):
             nbytes[g.slots] = np.where(mask[g.slots], width, 0)
-            positions[g.slots] = g.samples_in / g.spec.sample_rate
         bmax = max(out.shape[-1] for out in outs)
         padded = [out if out.shape[-1] == bmax
                   else jnp.pad(out, ((0, 0), (0, bmax - out.shape[-1])))
@@ -526,13 +530,11 @@ class BatchEncodeEngine:
             return None
         t0 = time.perf_counter()
         outs, masks, consumed_all = [], np.zeros(self.lanes, bool), {}
-        widths = []
         any_ready = False
         for g in self.groups:
             st = g.stage()
             if st is None:
                 outs.append(jnp.zeros((g.dlanes, g.out_bytes), jnp.uint8))
-                widths.append(0)
                 consumed_all[id(g)] = None
                 continue
             staged, ready, consumed, underrun = st
@@ -542,7 +544,6 @@ class BatchEncodeEngine:
             outs.append(out)
             masks[g.slots] = ready
             consumed_all[id(g)] = consumed
-            widths.append(g.out_bytes)
         if not any_ready:
             return None
         nbytes = np.zeros(self.lanes, np.int64)

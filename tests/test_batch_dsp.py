@@ -260,3 +260,72 @@ def test_engine_dsp_mesh_bit_parity():
     plain, sharded = run(None), run(make_mesh(8))
     for a, b in zip(plain, sharded):
         np.testing.assert_array_equal(a, b)
+
+
+def test_set_filter_mid_stream_starts_fresh_recurrence():
+    """Enabling a filter on a lane that already stepped inside a DSP-active
+    group (normalize-only here) starts a FRESH recurrence: the next chunk
+    gets the reference's y[0]=x[0] first-sample pass-through instead of
+    chaining from another epoch's (or zero) carried state (r5 review
+    finding: filt_started was set for every ready lane of the group)."""
+    n = 48000 * 2
+    sig = (np.sin(np.arange(n) / 13.0) * 15000
+           + np.sin(np.arange(n) / 301.0) * 8000).astype(np.int16)
+    cutoff = 2000.0
+    eng = BatchStreamEngine([LaneSpec("pcm16", 48000)], windowed=True)
+    eng.feed(0, sig.astype("<i2").tobytes())
+    eng.feed(0, None)
+    eng.normalize(0.8)  # makes the group's step DSP-active from chunk 1
+    r1 = eng.step()     # chunk 1 decodes with no filter on the lane
+    assert r1 is not None and bool(r1[1][0])
+    eng.set_filter(0, "lowpass", cutoff)
+    chunks = [np.asarray(r1[0])[0]]
+    while True:
+        r = eng.step()
+        if r is None:
+            break
+        if r[1][0]:
+            chunks.append(np.asarray(r[0])[0])
+    got = np.concatenate(chunks)[:n]
+
+    f = norm16f(sig.astype(np.int64)).astype(np.float64)
+    g = 0.8 / np.abs(f).max()
+    gf = g * f
+    a = 1.0 - math.exp(-(cutoff / 48000) * 2 * math.pi)
+    # chunk 1 unfiltered; chunk 2's filter starts fresh (y[0] = x[0]);
+    # the playback FIR carries across the boundary as usual
+    pre_fir = np.concatenate([gf[:48000],
+                              seq_filter(gf[48000:], "lowpass", a)])
+    exp = fir_quant(pre_fir)
+    mostly_equal(got, exp)
+
+
+def test_set_filter_reconfigure_resets_transient_state():
+    """Re-configuring an ACTIVE filter (new cutoff) also restarts the
+    recurrence — the old epoch's carried y/x state must not leak into the
+    new filter's first chunk."""
+    n = 48000 * 2
+    sig = (np.cos(np.arange(n) / 9.0) * 14000).astype(np.int16)
+    eng = BatchStreamEngine([LaneSpec("pcm16", 48000)], windowed=True)
+    eng.set_filter(0, "lowpass", 8000)
+    eng.feed(0, sig.astype("<i2").tobytes())
+    eng.feed(0, None)
+    r1 = eng.step()
+    assert r1 is not None and bool(r1[1][0])
+    eng.set_filter(0, "lowpass", 1000)
+    chunks = [np.asarray(r1[0])[0]]
+    while True:
+        r = eng.step()
+        if r is None:
+            break
+        if r[1][0]:
+            chunks.append(np.asarray(r[0])[0])
+    got = np.concatenate(chunks)[:n]
+
+    f = norm16f(sig.astype(np.int64)).astype(np.float64)
+    a1 = 1.0 - math.exp(-(8000 / 48000) * 2 * math.pi)
+    a2 = 1.0 - math.exp(-(1000 / 48000) * 2 * math.pi)
+    pre_fir = np.concatenate([seq_filter(f[:48000], "lowpass", a1),
+                              seq_filter(f[48000:], "lowpass", a2)])
+    exp = fir_quant(pre_fir)
+    mostly_equal(got, exp)

@@ -248,3 +248,48 @@ def test_encode_engine_masked_lane_state_freeze():
     ref = BatchEncodeEngine([EncodeSpec("dfpwm")] * 1)
     b1, _, _, _ = ref.encode_windows(jnp.asarray(w2[1:]), np.array([True]))
     np.testing.assert_array_equal(np.asarray(a2)[1], np.asarray(b1)[0])
+
+
+def test_encode_gain_saturates_not_wraps():
+    """|gain * sample| > 1 saturates to the target full-scale value instead
+    of wrapping two's-complement in the int cast (r5 review finding: 0.9 at
+    gain 2.0 packed as pcm16 -6556). Covers the device window-glue gain path
+    and the host feed-time gain path."""
+    import jax.numpy as jnp
+
+    # device glue path (gained f32 conversion)
+    enc = BatchEncodeEngine([EncodeSpec("pcm16")])
+    enc.set_volume(0, 2.0)
+    win = np.full((1, 256), 115, np.int8)  # ~0.906 normalized
+    out, nbytes, mask, _ = enc.encode_windows(jnp.asarray(win), np.array([True]))
+    ints = np.frombuffer(np.asarray(out)[0, : nbytes[0]].tobytes(), "<i2")
+    assert (ints == 32767).all()
+    # negative side clips to the signed minimum
+    enc2 = BatchEncodeEngine([EncodeSpec("pcm16")])
+    enc2.set_volume(0, 2.0)
+    wneg = np.full((1, 256), -115, np.int8)
+    out, nbytes, mask, _ = enc2.encode_windows(jnp.asarray(wneg), np.array([True]))
+    ints = np.frombuffer(np.asarray(out)[0, : nbytes[0]].tobytes(), "<i2")
+    assert (ints == -32768).all()
+    # host feed path (instantaneous gain at feed time)
+    enc3 = BatchEncodeEngine([EncodeSpec("pcm16")], chunk_samples=256)
+    enc3.set_volume(0, 2.0)
+    enc3.feed(0, np.full(256, 0.9))
+    enc3.feed(0, None)
+    out, nbytes, mask, _ = enc3.step()
+    ints = np.frombuffer(np.asarray(out)[0, : nbytes[0]].tobytes(), "<i2")
+    assert (ints == 32767).all()
+
+
+def test_encode_windows_positions_chunk_start():
+    """encode_windows reports positions at CHUNK START (the decode engines'
+    and step()'s convention): the first window reports 0.0, the second 1 x
+    window seconds (r5 review finding: glue path was end-of-chunk)."""
+    import jax.numpy as jnp
+
+    enc = BatchEncodeEngine([EncodeSpec("dfpwm")])
+    win = np.zeros((1, 48000), np.int8)
+    _, _, _, pos = enc.encode_windows(jnp.asarray(win), np.array([True]))
+    assert pos[0] == 0.0
+    _, _, _, pos = enc.encode_windows(jnp.asarray(win), np.array([True]))
+    assert pos[0] == 1.0

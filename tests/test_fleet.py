@@ -680,3 +680,86 @@ def test_fleet_seek_requires_retained_source():
     live = Fleet([wav], eof=False)
     with pytest.raises(ValueError, match="eof station"):
         live.seek(0, 0.1)
+
+
+def test_fleet_seek_mid_play_discards_fifo_remnant():
+    """A mid-play seek on a station whose engine group FIFO holds
+    undelivered samples must NOT deliver the stale pre-seek audio: the
+    lane's FIFO cursor discards its remnant lane-locally (r5 review
+    finding), positions restart at the landing, and the sibling station
+    sharing the group is bit-unaffected."""
+    ba = 256
+    p0 = fixtures.ima_wav_blocks(RNG, 40, ba, 1)
+    p1 = fixtures.ima_wav_blocks(RNG, 40, ba, 1)
+    w0 = fixtures.wav_ima(p0, 8000, 1, ba)
+    w1 = fixtures.wav_ima(p1, 8000, 1, ba)
+    base = collect(Fleet([w0, w1]))  # undisturbed full timelines
+
+    fleet = Fleet([w0, w1])
+    outs1 = []
+    for _ in range(2):  # leave the block-codec group's FIFO part-full
+        r = fleet.step()
+        assert r is not None
+        w, m, _pos = r
+        if m[1]:
+            outs1.append(np.asarray(w)[1])
+    gi, _slot = fleet.engine._lane_map[fleet.stations[0].lanes[0]]
+    assert fleet.engine.groups[gi].fill > 0  # the hazard is live
+    landing = fleet.seek(0, 0.0)
+    assert landing == 0.0
+    outs0, pos0 = [], []
+    guard = 0
+    while not fleet.done:
+        r = fleet.step()
+        guard += 1
+        assert guard < 1000
+        if r is None:
+            continue
+        w, m, pos = r
+        if m[0]:
+            pos0.append(pos[0])
+            outs0.append(np.asarray(w)[0])
+        if m[1]:
+            outs1.append(np.asarray(w)[1])
+    got0 = np.concatenate(outs0, axis=-1)
+    got1 = np.concatenate(outs1, axis=-1)
+    # station 0 re-plays its timeline from the landing bit-exactly with NO
+    # stale pre-seek samples in front; its first window reports 0.0 s
+    assert pos0[0] == 0.0
+    np.testing.assert_array_equal(got0, base[0])
+    # the sibling lane in the SAME group is untouched
+    np.testing.assert_array_equal(got1, base[1])
+
+
+def test_fleet_reset_station_mid_play_no_stale_audio():
+    """Rotating a station to a new source while its group FIFO is part-full
+    discards the old timeline's undelivered samples: the new source plays
+    from its first sample (r5 review finding)."""
+    ba = 256
+    p0 = fixtures.ima_wav_blocks(RNG, 40, ba, 1)
+    p1 = fixtures.ima_wav_blocks(RNG, 40, ba, 1)
+    p2 = fixtures.ima_wav_blocks(RNG, 40, ba, 1)
+    w0 = fixtures.wav_ima(p0, 8000, 1, ba)
+    w1 = fixtures.wav_ima(p1, 8000, 1, ba)
+    w2 = fixtures.wav_ima(p2, 8000, 1, ba)
+    base = collect(Fleet([w2, w1]))  # what the rotated fleet should play
+
+    fleet = Fleet([w0, w1])
+    for _ in range(2):
+        assert fleet.step() is not None
+    gi, _slot = fleet.engine._lane_map[fleet.stations[0].lanes[0]]
+    assert fleet.engine.groups[gi].fill > 0
+    fleet.reset_station(0, w2)
+    outs0 = []
+    guard = 0
+    while not fleet.done:
+        r = fleet.step()
+        guard += 1
+        assert guard < 1000
+        if r is None:
+            continue
+        w, m, _pos = r
+        if m[0]:
+            outs0.append(np.asarray(w)[0])
+    got0 = np.concatenate(outs0, axis=-1)
+    np.testing.assert_array_equal(got0, base[0])
