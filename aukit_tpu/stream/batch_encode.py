@@ -12,11 +12,13 @@ engine's shape (VERDICT r4 item 2):
    8/16/24/32); equal specs share one fused device dispatch per step;
  - **device-to-device glue**: ``encode_windows(windows, mask)`` consumes a
    decode engine's / Fleet's int8 window array WITHOUT leaving HBM — the
-   int8 -> target-int conversion is a 256-entry LUT gather that replicates
-   the exact solo chain (int8 bytes -> aukit.pcm 8-bit loader ->
-   encodePCM/f64 -> trunc), so fleet transcodes are BIT-equal to the solo
-   writers (aukit.lua:868-874/1005 numerics, including the unsigned-8 bias
-   ordering and the truncating pack of ops/pcmcode.pack_pcm);
+   int8 -> target-int conversion evaluates the 256-entry conversion table
+   as gather-free int32 arithmetic (``int8_to_target_ints_device``; TPU
+   gathers serialize) replicating the exact solo chain (int8 bytes ->
+   aukit.pcm 8-bit loader -> encodePCM/f64 -> trunc), so fleet transcodes
+   are BIT-equal to the solo writers (aukit.lua:868-874/1005 numerics,
+   including the unsigned-8 bias ordering and the truncating pack of
+   ops/pcmcode.pack_pcm);
  - **host float ingestion**: ``feed(lane, samples)`` takes [-1, 1] float
    chunks (the Audio currency); conversion to target ints happens at feed
    time in f64 — the same correctly-rounded path the solo writers take;
@@ -172,9 +174,10 @@ def _int8_lut(codec: str) -> np.ndarray:
     """int8 window value (+128) -> target int, replicating the solo chain
     EXACTLY: int8 byte -> aukit.pcm 8-bit loader (f64 normalize, f32 cast;
     ops/pcmcode.normalize_pcm) -> encodePCM f64 denormalize (+ unsigned bias
-    BEFORE the trunc, pack_pcm order) -> trunc. 256 entries make the gain==1
-    conversion a single gather — bit-equal to the solo writers by
-    construction."""
+    BEFORE the trunc, pack_pcm order) -> trunc. The gain==1 device path
+    evaluates this table gather-free (``int8_to_target_ints_device``); the
+    table stays the ground truth that decomposition is tested against —
+    bit-equal to the solo writers by construction."""
     w = np.arange(-128, 128, dtype=np.float64)
     d = (w / np.where(w < 0, 128.0, 127.0)).astype(np.float32).astype(np.float64)
     return float_to_target_ints(d, codec)
@@ -192,6 +195,80 @@ def float_to_target_ints(samples, codec: str) -> np.ndarray:
         b = _DEPTH[codec]
         scaled = denormalize_pcm(d, b, "unsigned" if b == 8 else "signed")
     return np.trunc(scaled).astype(np.int64).astype(np.int32)
+
+
+# int8 -> target-int conversion WITHOUT a device gather. A 256-entry
+# ``jnp.take`` serializes on the TPU: in the round-5 transcode profile the
+# one LUT gather cost 717 ms of the 730 ms device pass — ~250x the whole
+# DFPWM encode kernel it fed. The same table decomposes into a handful of
+# VPU-vectorized int32 ops instead:
+#  - NEGATIVE int8 values convert exactly (the /128 normalize is a
+#    power-of-2 scale, exact in f32/f64): value = w * scale + bias;
+#  - POSITIVE values are base(w) = w*num//den + add (exact integer
+#    arithmetic) plus a per-w correction delta(w) in [-64, 63] that
+#    captures the f32-rounding of the solo chain's w/127 normalize.
+#    delta rides in <=7 bit-planes of 128-bit masks, each evaluated as an
+#    8-way chunk select + shift (no gather).
+# Bit-equality with _int8_lut for all 256 inputs x all codecs is pinned by
+# test_batch_encode::test_int8_device_conversion_matches_lut.
+_NEG_AFFINE = {"dfpwm": (1, 0), "pcm8": (1, 128), "pcm16": (256, 0),
+               "pcm24": (65536, 0), "pcm32": (16777216, 0)}
+_POS_BASE = {"dfpwm": (1, 1, 0), "pcm8": (1, 1, 128),
+             "pcm16": (32767, 127, 0), "pcm24": (8388607, 127, 0),
+             "pcm32": (2147483647, 127, 0)}
+
+
+def _pos_base_np(wp: np.ndarray, codec: str) -> np.ndarray:
+    num, den, add = _POS_BASE[codec]
+    return wp * num // den + add
+
+
+@functools.lru_cache(maxsize=16)
+def _pos_delta_planes(codec: str):
+    """(planes int32[P, 8], bias): positive-half LUT deltas vs _pos_base_np
+    packed as bit-planes of 16-bit chunks (bit w of plane b lives at
+    planes[b, w >> 4] bit (w & 15))."""
+    lut = _int8_lut(codec).astype(np.int64)[128:]
+    wp = np.arange(128, dtype=np.int64)
+    delta = lut - _pos_base_np(wp, codec)
+    bias = int(-delta.min())
+    d = delta + bias
+    nbits = max(1, int(d.max()).bit_length())
+    planes = np.zeros((nbits, 8), np.int32)
+    for w in range(128):
+        v = int(d[w])
+        for b in range(nbits):
+            if (v >> b) & 1:
+                planes[b, w >> 4] |= 1 << (w & 15)
+    return planes, bias
+
+
+def int8_to_target_ints_device(x, codec: str):
+    """Gather-free device twin of ``jnp.take(_int8_lut(codec), x + 128)``
+    (see the decomposition note above). ``x`` is int8[...]; returns
+    int32[...] target values, bit-equal to the table."""
+    w = x.astype(jnp.int32)
+    nmul, nadd = _NEG_AFFINE[codec]
+    neg = w * nmul + nadd
+    wp = jnp.maximum(w, 0)
+    num, den, add = _POS_BASE[codec]
+    q, r = divmod(num, den)
+    base = wp * q + (wp * r) // den + add if r else wp * q + add
+    planes, bias = _pos_delta_planes(codec)
+    if planes.any() or bias:
+        chunk = wp >> 4
+        bit = wp & 15
+        delta = jnp.zeros_like(wp)
+        for b in range(planes.shape[0]):
+            val = jnp.full_like(wp, int(planes[b, 0]))
+            for k in range(1, 8):
+                if planes[b, k]:
+                    val = jnp.where(chunk == k, int(planes[b, k]), val)
+                else:
+                    val = jnp.where(chunk == k, 0, val)
+            delta = delta + (((val >> bit) & 1) << b)
+        base = base + delta - bias
+    return jnp.where(w < 0, neg, base)
 
 
 class _EncGroup:
@@ -269,7 +346,6 @@ class _EncGroup:
         """kind: "vals" (host-converted ints) | "win" (int8 windows — LUT or
         gained f32 conversion on device)."""
         spec = self.spec
-        lut = jnp.asarray(_int8_lut(spec.codec))
         depth = _DEPTH.get(spec.codec, 8)
         mv = np.float32(128.0 if spec.codec == "dfpwm" else 1 << (depth - 1))
         add = np.float32(mv if spec.codec == "pcm8" else 0.0)
@@ -293,8 +369,8 @@ class _EncGroup:
                     d = jnp.clip(d, -1.0, 1.0)
                     scaled = d * jnp.where(d < 0, mv, mv - 1.0) + add
                     vals = scaled.astype(jnp.int32)
-                else:  # bit-exact LUT gather
-                    vals = jnp.take(lut, x.astype(jnp.int32) + 128)
+                else:  # bit-exact gather-free table evaluation
+                    vals = int8_to_target_ints_device(x, spec.codec)
             else:
                 vals = x
             out, new_state = self._encode_core(vals, mask1, tuple(state))
