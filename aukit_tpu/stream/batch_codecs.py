@@ -407,6 +407,29 @@ def _decode_msadpcm(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool,
     return jnp.moveaxis(f, 2, 1).reshape(L, 2, -1)
 
 
+def _qoa_dequant_device(sf, res):
+    """``QOA_DEQUANT[sf, res]`` without a device gather (TPU gathers
+    serialize — an elementwise jnp.take runs ~10 ns/element while this
+    decomposition fuses into the surrounding VPU work): the table's odd
+    columns are the negated even columns, so the four positive magnitudes
+    select per SLICE via a 16-way where-chain on the slice-shaped ``sf``
+    (1/20th of the samples) and each sample picks its column/sign from the
+    3-bit residual arithmetically. Bit-equal to the table
+    (test_batch::test_qoa_dequant_device_matches_table)."""
+    M = np.asarray(QOA_DEQUANT)[:, 0::2]  # [16, 4] positive magnitudes
+    cols = []
+    for j in range(4):
+        v = jnp.full_like(sf, int(M[0, j]))
+        for s in range(1, 16):
+            v = jnp.where(sf == s, int(M[s, j]), v)
+        cols.append(v[..., None])  # [L, K, S, ch, 1]
+    j = res >> 1  # [L, K, S, ch, 20]
+    m = jnp.where(j == 0, cols[0],
+                  jnp.where(j == 1, cols[1],
+                            jnp.where(j == 2, cols[2], cols[3])))
+    return jnp.where((res & 1) == 1, -m, m)
+
+
 def _decode_qoa(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool = False,
                 mono: bool = True) -> jnp.ndarray:
     """QOA frames (aukit.lua:1713-1775): 8 B header + per-channel LMS state +
@@ -439,8 +462,7 @@ def _decode_qoa(spec: LaneSpec, b: jnp.ndarray, use_pallas: bool = False,
             r = (lo >> pos) & 7
         res.append(r.astype(jnp.int32))
     res = jnp.stack(res, axis=-1)  # [L, K, S, ch, 20]
-    dq_flat = jnp.asarray(QOA_DEQUANT.reshape(-1))
-    dq = jnp.take(dq_flat, sf[..., None] * 8 + res)  # [L, K, S, ch, 20]
+    dq = _qoa_dequant_device(sf, res)  # [L, K, S, ch, 20]
     dq = jnp.moveaxis(dq, 3, 2).reshape(L * K * ch, -1)  # [L*K*ch, 5120]
     if use_pallas:
         from ..kernels.qoa_pallas import qoa_lms_pallas

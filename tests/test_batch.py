@@ -1107,3 +1107,23 @@ def test_batch_engine_volume_checkpoint_roundtrip():
     eng2.restore(1, ck)
     assert eng2.get_volume(1) == 2.0
     assert eng2.groups[0].gain0[1] == np.float32(1.0)
+
+
+def test_qoa_dequant_device_matches_table():
+    """The gather-free QOA dequant (_qoa_dequant_device) is bit-equal to
+    QOA_DEQUANT[sf, res] for every (scalefactor, residual) pair (TPU
+    gathers serialize; r5 profile showed elementwise jnp.take at ~10
+    ns/element)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aukit_tpu.codecs.qoa import QOA_DEQUANT
+    from aukit_tpu.stream.batch_codecs import _qoa_dequant_device
+
+    _, res = np.meshgrid(np.arange(16), np.arange(8), indexing="ij")
+    # the decoder's broadcast shape: sf is per-slice, res carries one extra
+    # trailing sample axis
+    sf_j = jnp.asarray(np.arange(16, dtype=np.int32))       # [16]
+    res_j = jnp.asarray(res.astype(np.int32))               # [16, 8]
+    got = np.asarray(jax.jit(_qoa_dequant_device)(sf_j, res_j))
+    np.testing.assert_array_equal(got, np.asarray(QOA_DEQUANT))
