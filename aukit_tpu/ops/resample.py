@@ -125,22 +125,35 @@ def resample_audio_array(
 
 
 def block_interp_device(ext, n: int, H: int, out_len, ffx0, frac, exact,
-                        mode: str, w):
+                        mode: str, w, axis: int = -1):
     """Traced device core shared by every jnp resample twin (the FLAC
     fleet's device DSP, parallel.pipeline.dsp_chain): replicate
     ``lua_block_resample``'s edge-fallback semantics (aukit.lua:253-284)
     over ``ext[..., H + n]`` (H history columns, hist_valid == H so lo == 0;
     H == 0 is the engine's chunk-local form) with STATIC index/weight
-    tables — all four interpolation modes. f32."""
+    tables — all four interpolation modes. f32.
+
+    ``axis`` selects the sample axis (default: last). The FLAC fleet's
+    grouped-residency route interpolates along axis 2 of its native
+    [C, G, T, 32, 128] layout so the stream never leaves the Pallas
+    kernels' layout between the restore and block-IIR segments."""
     import jax.numpy as jnp
 
     hi = H + n - 1
     ffx = ffx0 + H
-    fracj = jnp.asarray(np.asarray(frac, np.float32))
-    exactj = jnp.asarray(exact)
+
+    def bcast(v):
+        if axis == -1:
+            return v
+        shape = [1] * ext.ndim
+        shape[axis] = v.shape[0]
+        return v.reshape(shape)
+
+    fracj = bcast(jnp.asarray(np.asarray(frac, np.float32)))
+    exactj = bcast(jnp.asarray(exact))
 
     def take(idx):
-        return jnp.take(ext, jnp.asarray(np.clip(idx, 0, hi)), axis=-1)
+        return jnp.take(ext, jnp.asarray(np.clip(idx, 0, hi)), axis=axis)
 
     if mode == "none":
         return take(ffx)
@@ -169,5 +182,5 @@ def block_interp_device(ext, n: int, H: int, out_len, ffx0, frac, exact,
         wt = np.asarray(w[:, t] * valid, np.float32)
         if not wt.any():
             continue
-        acc = acc + take(idx) * jnp.asarray(wt)
+        acc = acc + take(idx) * bcast(jnp.asarray(wt))
     return jnp.where(exactj, p1, acc)

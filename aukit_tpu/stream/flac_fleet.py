@@ -198,6 +198,195 @@ def _device_decode_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
     return fn, out_len
 
 
+@functools.lru_cache(maxsize=64)
+def _device_grouped_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
+                       n: int, rate: int, out_rate: int, mode: str,
+                       window: int, out_mode: str, interpret: bool):
+    """Grouped-residency fusion of ``_device_decode_fn`` +
+    ``_device_block_iir_scale_fn`` for UNMESHED fleets: the decoded stream
+    stays in the Pallas kernels' native [G, T, 32, 128] layout from the LPC
+    restore through the block IIR, gain line and int8-range scale. The
+    lane-major route pays 4-6 full-array relayout copies per step at the two
+    Pallas custom-call boundaries (custom calls pin default layouts; round-5
+    profile: ~16 of 23.4 ms/pass at bench scale was relayouts running at
+    mem-BW) — here exactly TWO remain: one transpose in (residual scatter ->
+    grouped) and one out (scaled windows -> lane-major), with the whole
+    middle chain elementwise or axis-gathers in grouped space.
+
+    Layout contract: subframe rows pack PLANAR — subframe j of frame f at
+    row ``j * FpR + f`` with each channel plane padded to whole [32, 128]
+    groups (FpR = GaG * 4096) — so the stereo decorrelation butterflies
+    (aukit.lua:553-566 channel assignments) are pure group-axis slices and
+    every per-frame scalar (gain line, chain state, block index) rides a
+    [GaG, 32, 128] pack that reshapes, never transposes. Per-element math is
+    kept verbatim from the lane-major route, so outputs are BIT-identical to
+    it (pinned by test_fleet_device_route_sharded_over_mesh_bit_exact and
+    the dryrun's mesh-vs-unmeshed FLAC case, which now cross-check the two
+    implementations).
+
+    Returns (fn, out_len, needs_hist); fn maps the planar host scatter +
+    parse metadata to (windows [Lb, (C,) m*out_len], new_state f32[Lb, C],
+    lane tail samples f32[Lb, C, 2]); needs_hist tells the caller whether
+    the first/prev_idx/tails0 history inputs are read (cubic/sinc at a
+    non-identity rate) or may be tiny dummies."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.dfpwm_pallas import lanes_to_groups
+    from ..kernels.flac_pallas import (GROUP, LANE, SUB, TIME_TILE,
+                                       lpc_restore_grouped)
+    from ..kernels.iir_pallas import iir_zero_grouped
+
+    out_len, ffx0, frac, exact, w = block_resample_plan(
+        n, rate, out_rate, mode, window)
+    if out_len == 0:
+        return None, 0, False
+    identity = bool(out_len == n and exact.all()
+                    and (ffx0 == np.arange(n)).all())
+    needs_hist = mode in ("cubic", "sinc") and not identity
+    C = nsubs if chan_asgn <= 7 else 2
+    half = 1 << (depth - 1)
+    full = 1 << depth
+    scale = np.float32(1.0) / np.float32(1 << depth)  # /2^depth, exact
+    Tp = -(-n // TIME_TILE) * TIME_TILE
+    out_lenP = -(-out_len // TIME_TILE) * TIME_TILE  # block-IIR tile pad
+    padT = out_lenP - out_len
+    # plan tables padded to the IIR tile: pad outputs gather a clamped index
+    # and are sliced away before the final lane transpose
+    ffx_p = np.concatenate([ffx0, np.full(padT, ffx0[-1], np.int64)])
+    frac_p = np.concatenate([frac, np.zeros(padT)])
+    exact_p = np.concatenate([exact, np.ones(padT, bool)])
+    w_p = None if w is None else np.pad(w, ((0, padT), (0, 0)))
+    alpha = fir_alpha(rate, out_rate)
+    cdec = np.float32(1.0 - alpha)
+    dvec = np.cumprod(np.full(out_len, cdec, dtype=np.float32),
+                      dtype=np.float32)  # dvec[t] = c^(t+1), f32 chain order
+    dN = dvec[-1]
+    dvec_p = np.pad(dvec, (0, padT))
+    if dN:
+        chain = lambda s, f: (f + dN * s, s)  # noqa: E731
+    else:  # c^out_len underflowed: the chain is a pure shift
+        chain = lambda s, f: (f, s)  # noqa: E731
+
+    @jax.jit
+    def fn(vals, orders, shifts, wasted, coefs, idx, vmask, lastblk, lastfr,
+           rmul, g0f, g1f, donef, spanf, ls, first, prev_idx, tails0):
+        RowsP = vals.shape[0]
+        G = RowsP // GROUP
+        GaG = G // nsubs  # groups per channel plane
+        FpR = GaG * GROUP
+        Lb = idx.shape[0]
+        gm, _ = lanes_to_groups(vals, TIME_TILE)  # the ONE in-relayout
+
+        def pack(v):  # per-row scalar -> grouped (pure reshape: row
+            return v.reshape(G, SUB, LANE)  # r = g*4096 + s*128 + l)
+
+        def fpack(v):  # per-FRAME scalar -> one plane's groups
+            return v.reshape(GaG, SUB, LANE)
+
+        meta_gm = jnp.stack(
+            [pack(orders), pack(shifts),
+             jnp.full((G, SUB, LANE), n, jnp.int32)], axis=1)
+        coef_gm = jnp.moveaxis(coefs.reshape(G, SUB, LANE, K), -1, 1)
+        restored = lpc_restore_grouped(gm, meta_gm, coef_gm, K, interpret)
+        restored = restored << pack(wasted)[:, None]  # [G, Tp, 32, 128]
+        planes = restored.reshape(nsubs, GaG, Tp, SUB, LANE)
+        if chan_asgn <= 7:
+            chans = planes
+        else:
+            a, b = planes[0], planes[1]
+            if chan_asgn == 8:  # left/side
+                b = a - b
+            elif chan_asgn == 9:  # side/right
+                a = a + b
+            else:  # mid/side
+                side = b
+                right = a - (side >> 1)
+                b = right
+                a = right + side
+            chans = jnp.stack([a, b], axis=0)
+        wrapped = jnp.where(chans >= half, chans - full, chans)
+        dec_t = wrapped.astype(jnp.float32) * scale  # [C, GaG, Tp, 32, 128]
+        # raw dec tails, frame-major (tiny: 2 time columns) — the host
+        # history mirror + cubic/sinc cross-frame history source
+        tails_fr = jnp.transpose(dec_t[:, :, n - 2:n],
+                                 (1, 3, 4, 0, 2)).reshape(FpR, C, 2)
+        if identity:
+            res = dec_t  # Tp == out_lenP; time pad is exactly zero
+        elif mode == "none":
+            res = jnp.take(dec_t, jnp.asarray(np.clip(ffx_p, 0, n - 1)),
+                           axis=2)
+        elif mode == "linear":
+            p1 = jnp.take(dec_t, jnp.asarray(np.clip(ffx_p, 0, n - 1)),
+                          axis=2)
+            p2 = jnp.take(dec_t, jnp.asarray(np.minimum(ffx_p + 1, n - 1)),
+                          axis=2)
+            ex = jnp.asarray(exact_p).reshape(1, 1, -1, 1, 1)
+            fr_ = jnp.asarray(frac_p.astype(np.float32)).reshape(1, 1, -1, 1, 1)
+            res = jnp.where(ex, p1, p1 + (p2 - p1) * fr_)
+        else:  # cubic / sinc: 2-column history from the previous frame
+            tprev = jnp.take(tails_fr, prev_idx, axis=0)
+            hist = jnp.where(first[:, None, None], tails0, tprev)
+            hist_g = jnp.transpose(hist.reshape(GaG, SUB, LANE, C, 2),
+                                   (3, 0, 4, 1, 2))  # tiny: 2 columns
+            ext = jnp.concatenate([hist_g, dec_t], axis=2)
+            res = _block_interp_device(ext, n, 2, out_lenP, ffx_p, frac_p,
+                                       exact_p, mode, w_p, axis=2)
+        res_g = res.reshape(C * GaG, out_lenP, SUB, LANE)
+        y0 = iir_zero_grouped(res_g, float(alpha), interpret)
+        # cross-frame chain + state (all frame-level: tiny)
+        fin0 = y0[:, out_len - 1]  # zero-init finals [C*GaG, 32, 128]
+        fin0_fr = fin0.reshape(C, FpR).T  # [FpR, C]
+        fb = jnp.take(fin0_fr, idx, axis=0)  # [Lb, m, C]
+        _, s_in = jax.lax.scan(chain, ls, jnp.moveaxis(fb, 1, 0))
+        s_in = jnp.moveaxis(s_in, 0, 1)  # incoming state per block [Lb, m, C]
+        lb = lastblk[:, None, None]
+        # filter state at each lane's last sample (pre-gain, post-chain):
+        # fin + c^out_len * s_in — identical to the lane route's indexed read
+        new_state = (jnp.take_along_axis(fb, lb, axis=1)
+                     + dN * jnp.take_along_axis(s_in, lb, axis=1))[:, 0]
+        # scatter incoming states to frames (pad idx entries add +0.0 to
+        # frame 0 — harmless; valid frames belong to exactly one lane)
+        s_fr = jnp.zeros((FpR, C), jnp.float32).at[idx.reshape(-1)].add(
+            jnp.where(vmask[..., None], s_in, 0.0).reshape(-1, C))
+        s_g = s_fr.T.reshape(C, GaG, 1, SUB, LANE)
+        decj = jnp.asarray(dvec_p)
+        y5 = (y0.reshape(C, GaG, out_lenP, SUB, LANE)
+              + decj[None, None, :, None, None] * s_g)
+        # volume AFTER the state read; per-sample linear ramp line — the
+        # lane route's g(t) over concatenated lane time, evaluated per frame
+        # via the exact-integer offset rmul = r*out_len (f32-exact ints, so
+        # done + (rmul + t) bit-equals the lane route's done + arange(T))
+        t = jnp.arange(out_lenP, dtype=jnp.float32)
+        tg = fpack(rmul)[:, None] + t[None, :, None, None]
+        fracg = jnp.minimum((fpack(donef)[:, None] + tg)
+                            / fpack(spanf)[:, None], 1.0)
+        g = fpack(g0f)[:, None] + (fpack(g1f)[:, None]
+                                   - fpack(g0f)[:, None]) * fracg
+        y5 = y5 * g[None]
+        scaled = jnp.clip(y5 * jnp.where(y5 < 0, 128.0, 127.0), -128.0, 127.0)
+        if out_mode == "mix":
+            scaled = scaled.mean(axis=0)
+        elif out_mode == "first":
+            scaled = scaled[0]
+        # the ONE out-relayout: slice the time pad BEFORE the transpose
+        # (XLA folds a prefix slice into the relayout copy — see
+        # kernels/dfpwm_pallas.py groups_to_lanes)
+        if out_mode == "multi":
+            rows = jnp.transpose(scaled[:, :, :out_len],
+                                 (1, 3, 4, 0, 2)).reshape(FpR, C, out_len)
+            win = jnp.take(rows, idx, axis=0)  # [Lb, m, C, out_len]
+            win = jnp.moveaxis(win, 2, 1).reshape(Lb, C, -1)
+        else:
+            rows = jnp.transpose(scaled[:, :out_len],
+                                 (0, 2, 3, 1)).reshape(FpR, out_len)
+            win = jnp.take(rows, idx, axis=0).reshape(Lb, -1)
+        tails_last = jnp.take(tails_fr, lastfr, axis=0)  # [Lb, C, 2]
+        return win, new_state, tails_last
+
+    return fn, out_len, needs_hist
+
+
 @functools.lru_cache(maxsize=128)
 def _device_block_iir_scale_fn(out_len: int, alpha: float, out_mode: str,
                                interpret: bool, mesh=None):
@@ -599,6 +788,13 @@ class FlacFleet:
         if not (blocks_all == n).all():
             return None
         nsubs = C if asgn <= 7 else 2
+        if self.mesh is None:
+            # grouped-residency route: the stream never leaves the Pallas
+            # layout between restore and block IIR (see _device_grouped_fn);
+            # mesh fleets keep the lane-major route below (rows shard evenly
+            # under shard_map; small per-plane group counts don't)
+            return self._device_full_step_grouped(
+                parsed, rate, C, depth, n, asgn, nsubs)
 
         orders = np.concatenate([p[2]["order"] for p in parsed])
         shifts = np.concatenate([p[2]["shift"] for p in parsed])
@@ -675,6 +871,111 @@ class FlacFleet:
             ln.last = tails[fstarts[i + 1] - 1].astype(np.float64).copy()
             out[li] = scaled[i][..., : tval[i]]
             self._advance_ramp(ln, int(tval[i]))
+        return out
+
+    def _device_full_step_grouped(self, parsed, rate, C, depth, n, asgn,
+                                  nsubs):
+        """Host prep + dispatch for ``_device_grouped_fn`` (unmeshed fully
+        device-resident steps): planar row scatter (subframe j of frame f at
+        row j*FpR + f, planes padded to whole [32, 128] groups), per-frame
+        gain/chain metadata, one fused device call, and the same lane
+        bookkeeping as the lane-major route. Geometry is pre-validated by
+        ``_device_full_step`` (uniform rate/C/depth, one block size n >= 2,
+        one channel assignment)."""
+        import jax.numpy as jnp
+
+        from ..kernels.flac_pallas import GROUP, _order_bucket
+
+        lanes = [p[0] for p in parsed]
+        orders = np.concatenate([p[2]["order"] for p in parsed])
+        shifts = np.concatenate([p[2]["shift"] for p in parsed])
+        wasted = np.concatenate([p[2]["wasted"] for p in parsed])
+        coefs = np.concatenate([p[3] for p in parsed]).astype(np.int32)
+        values = np.concatenate([p[4] for p in parsed])
+        F = len(orders) // nsubs
+        K = _order_bucket(int(orders.max()) if len(orders) else 1)
+        interpret = self._block_iir == "interpret"
+        fn, out_len, needs_hist = _device_grouped_fn(
+            K, nsubs, asgn, depth, n, rate, self.out_rate, self.mode,
+            CONFIG.sinc_window_size, self._out_mode(C), interpret)
+        if fn is None:
+            return None
+
+        GaG = _bucket(max(1, -(-F // GROUP)))  # pow2 groups per plane
+        FpR = GaG * GROUP
+        vals = np.zeros((nsubs * FpR, n), np.int32)
+        om = np.zeros(nsubs * FpR, np.int32)
+        sm = np.zeros(nsubs * FpR, np.int32)
+        wm = np.zeros(nsubs * FpR, np.int32)
+        cf = np.zeros((nsubs * FpR, K), np.int32)
+        v3 = values.reshape(F, nsubs, n)
+        o3 = orders.reshape(F, nsubs)
+        s3 = shifts.reshape(F, nsubs)
+        w3 = wasted.reshape(F, nsubs)
+        c3 = coefs.reshape(F, nsubs, -1)
+        cw = min(K, c3.shape[2])
+        for j in range(nsubs):
+            base = j * FpR
+            vals[base:base + F] = v3[:, j]
+            om[base:base + F] = o3[:, j]
+            sm[base:base + F] = s3[:, j]
+            wm[base:base + F] = w3[:, j]
+            cf[base:base + F, :cw] = c3[:, j, :cw]
+
+        fstarts = np.concatenate(
+            [[0], np.cumsum([len(p[1]) for p in parsed])])
+        if needs_hist:  # cross-frame history feeds the interpolator
+            first = np.zeros(FpR, bool)
+            tails0 = np.zeros((FpR, C, 2), np.float32)
+            for i, li in enumerate(lanes):
+                first[fstarts[i]] = True
+                tails0[fstarts[i]] = self._lanes[li].last
+            prev_idx = np.maximum(np.arange(FpR) - 1, 0).astype(np.int32)
+        else:  # traced-but-unused: constant tiny dummies avoid the transfer
+            first = np.zeros(1, bool)
+            tails0 = np.zeros((1, C, 2), np.float32)
+            prev_idx = np.zeros(1, np.int32)
+
+        Lb = _bucket(len(lanes))
+        m_max = _bucket(max(len(p[1]) for p in parsed))
+        idx = np.zeros((Lb, m_max), np.int32)
+        vmask = np.zeros((Lb, m_max), bool)
+        tvalh = np.zeros(Lb, np.int32)
+        lastblk = np.zeros(Lb, np.int32)
+        lastfr = np.zeros(Lb, np.int32)
+        ls = np.zeros((Lb, C), np.float32)
+        rmul = np.zeros(FpR, np.float32)  # r*out_len: f32-exact ints
+        g0f = np.ones(FpR, np.float32)
+        g1f = np.ones(FpR, np.float32)
+        donef = np.ones(FpR, np.float32)
+        spanf = np.ones(FpR, np.float32)
+        for i, li in enumerate(lanes):
+            F_li = len(parsed[i][1])
+            fr = fstarts[i] + np.arange(F_li)
+            idx[i, :F_li] = fr
+            vmask[i, :F_li] = True
+            tvalh[i] = F_li * out_len
+            lastblk[i] = F_li - 1
+            lastfr[i] = fstarts[i + 1] - 1
+            ls[i] = self._lanes[li].ls
+            g0, g1, done, span = self._gain_params(self._lanes[li])
+            g0f[fr], g1f[fr], donef[fr], spanf[fr] = g0, g1, done, span
+            rmul[fr] = np.arange(F_li, dtype=np.float64) * out_len
+
+        win, new_state, tails_last = fn(*map(jnp.asarray, (
+            vals, om, sm, wm, cf, idx, vmask, lastblk, lastfr, rmul,
+            g0f, g1f, donef, spanf, ls, first, prev_idx, tails0)))
+        win = np.asarray(win)
+        new_state = np.asarray(new_state)
+        tails_last = np.asarray(tails_last)
+        out = {}
+        for i, li in enumerate(lanes):
+            ln = self._lanes[li]
+            ln.ls = new_state[i].astype(np.float64)
+            # n >= 2 is guarded by the caller: the tail is always 2 wide
+            ln.last = tails_last[i].astype(np.float64).copy()
+            out[li] = win[i][..., : tvalh[i]]
+            self._advance_ramp(ln, int(tvalh[i]))
         return out
 
     def _out_mode(self, C: int) -> str:
