@@ -523,6 +523,32 @@ def test_fleet_fully_device_resident_step_close():
     assert calls["full"] >= 2
 
 
+def test_fleet_unmeshed_device_route_takes_grouped_path():
+    """An UNMESHED fully device-resident fleet must route uniform-geometry
+    steps through the grouped-residency step (_device_grouped_fn — two
+    relayouts per pass), not the lane-major mesh route: a silent routing
+    regression would bring back the 4-6 relayout copies the round-5 profile
+    eliminated. Outputs stay close to the host oracle."""
+    calls = {"grouped": 0}
+
+    class Spy(FlacFleet):
+        def _device_full_step_grouped(self, *a, **k):
+            r = super()._device_full_step_grouped(*a, **k)
+            if r is not None:
+                calls["grouped"] += 1
+            return r
+
+    datas = [make_flac(48000, 4, seed=170),
+             make_flac(48000, 4, seed=171, channels=2, chan_asgn=8)]
+    host, _ = run_fleet(datas)
+    fleet = Spy(len(datas), device_restore=True, device_dsp=True)
+    fleet._block_iir = "interpret"
+    dev, _ = run_fleet(datas, fleet=fleet)
+    assert calls["grouped"] >= 2  # both geometry groups took the new route
+    for a, b in zip(host, dev):
+        np.testing.assert_allclose(b, a, atol=5e-3)
+
+
 def test_fleet_device_resident_mixed_geometry_falls_back():
     """A step whose frames span two block sizes (short final frame arriving
     with earlier full frames) is rejected by _device_full_step and decodes
