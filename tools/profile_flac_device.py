@@ -48,15 +48,36 @@ def build_fixture(lanes=96, seconds=20):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lanes", type=int, default=96)
+    ap.add_argument("--seconds", type=int, default=20)
+    ap.add_argument("--old-route", action="store_true",
+                    help="force the lane-major route via a 1-device mesh "
+                         "(the pre-grouped-residency path) for A/B")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (functional smoke run; "
+                         "interpret-mode kernels, no XLA-Ops plane)")
+    args = ap.parse_args()
+
     import jax
 
+    if args.cpu:  # must precede backend init — and the aukit import, whose
+        # module graph touches the backend (the axon plugin ignores env)
+        jax.config.update("jax_platforms", "cpu")
     from aukit_tpu.stream.flac_fleet import FlacFleet
 
     backend = jax.default_backend()
-    data, lanes, samples_per_lane = build_fixture()
+    data, lanes, samples_per_lane = build_fixture(args.lanes, args.seconds)
+    mesh = None
+    if args.old_route:
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:1]).reshape(1), ("dp",))
 
     def device_pass():
-        fdev = FlacFleet(lanes, device_restore=True, device_dsp=True)
+        fdev = FlacFleet(lanes, device_restore=True, device_dsp=True,
+                         mesh=mesh)
         if backend != "tpu":
             fdev._block_iir = "interpret"
         fdev.feed_many([data] * lanes)
@@ -92,6 +113,10 @@ def main():
                         nm = names[ev.metadata_id].name
                         by_name[nm] = by_name.get(nm, 0.0) + ev.duration_ps
                         tot_ps += ev.duration_ps
+        if tot_ps == 0:
+            print("no /device:TPU XLA-Ops plane in the trace "
+                  "(CPU backend?) — functional smoke only")
+            return
         dev_s = tot_ps / 1e12 / iters
         total_samples = lanes * samples_per_lane
         print(f"\ndevice total: {dev_s * 1e3:.2f} ms/pass "
