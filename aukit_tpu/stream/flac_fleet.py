@@ -224,11 +224,11 @@ def _device_grouped_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
     the dryrun's mesh-vs-unmeshed FLAC case, which now cross-check the two
     implementations).
 
-    Returns (fn, out_len, needs_hist); fn maps the planar host scatter +
-    parse metadata to (windows [Lb, (C,) m*out_len], new_state f32[Lb, C],
-    lane tail samples f32[Lb, C, 2]); needs_hist tells the caller whether
-    the first/prev_idx/tails0 history inputs are read (cubic/sinc at a
-    non-identity rate) or may be tiny dummies."""
+    Returns (fn, out_len); fn maps the COMPACT planar host scatter
+    ([nsubs, Fb, ...]; group padding happens on device) + parse metadata to
+    (windows [Lb, (C,) m*out_len], new_state f32[Lb, C], lane tail samples
+    f32[Lb, C, 2]). The first/tails0 history inputs are read only by
+    cubic/sinc at a non-identity rate (traced-but-dropped otherwise)."""
     import jax
     import jax.numpy as jnp
 
@@ -240,10 +240,9 @@ def _device_grouped_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
     out_len, ffx0, frac, exact, w = block_resample_plan(
         n, rate, out_rate, mode, window)
     if out_len == 0:
-        return None, 0, False
+        return None, 0
     identity = bool(out_len == n and exact.all()
                     and (ffx0 == np.arange(n)).all())
-    needs_hist = mode in ("cubic", "sinc") and not identity
     C = nsubs if chan_asgn <= 7 else 2
     half = 1 << (depth - 1)
     full = 1 << depth
@@ -270,24 +269,39 @@ def _device_grouped_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
 
     @jax.jit
     def fn(vals, orders, shifts, wasted, coefs, idx, vmask, lastblk, lastfr,
-           rmul, g0f, g1f, donef, spanf, ls, first, prev_idx, tails0):
-        RowsP = vals.shape[0]
-        G = RowsP // GROUP
-        GaG = G // nsubs  # groups per channel plane
+           rmul, g0f, g1f, donef, spanf, ls, first, tails0):
+        # hosts hand over COMPACT [nsubs, Fb, ...] arrays (Fb = pow2 frame
+        # bucket — the transfer is the same size as the lane-major route's);
+        # the group padding to whole [32, 128] planes happens HERE, on
+        # device, where it fuses into the relayout instead of riding the
+        # tunnel as zeros
+        Fb = vals.shape[1]
+        GaG = -(-Fb // GROUP)  # groups per channel plane
         FpR = GaG * GROUP
+        padF = FpR - Fb
+        G = nsubs * GaG
+        RowsP = nsubs * FpR
         Lb = idx.shape[0]
-        gm, _ = lanes_to_groups(vals, TIME_TILE)  # the ONE in-relayout
+
+        def fpad(v, fill=0):  # compact frame axis -> plane-padded
+            width = ((0, 0), (0, padF)) + ((0, 0),) * (v.ndim - 2)
+            return jnp.pad(v, width, constant_values=fill)
+
+        vals_p = fpad(vals).reshape(RowsP, n)
+        gm, _ = lanes_to_groups(vals_p, TIME_TILE)  # the ONE in-relayout
 
         def pack(v):  # per-row scalar -> grouped (pure reshape: row
-            return v.reshape(G, SUB, LANE)  # r = g*4096 + s*128 + l)
+            return fpad(v).reshape(G, SUB, LANE)  # r = g*4096 + s*128 + l)
 
-        def fpack(v):  # per-FRAME scalar -> one plane's groups
-            return v.reshape(GaG, SUB, LANE)
+        def fpack(v, fill=0):  # per-FRAME scalar -> one plane's groups
+            return jnp.pad(v, (0, padF),
+                           constant_values=fill).reshape(GaG, SUB, LANE)
 
         meta_gm = jnp.stack(
             [pack(orders), pack(shifts),
              jnp.full((G, SUB, LANE), n, jnp.int32)], axis=1)
-        coef_gm = jnp.moveaxis(coefs.reshape(G, SUB, LANE, K), -1, 1)
+        coef_gm = jnp.moveaxis(
+            fpad(coefs).reshape(G, SUB, LANE, K), -1, 1)
         restored = lpc_restore_grouped(gm, meta_gm, coef_gm, K, interpret)
         restored = restored << pack(wasted)[:, None]  # [G, Tp, 32, 128]
         planes = restored.reshape(nsubs, GaG, Tp, SUB, LANE)
@@ -325,8 +339,10 @@ def _device_grouped_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
             fr_ = jnp.asarray(frac_p.astype(np.float32)).reshape(1, 1, -1, 1, 1)
             res = jnp.where(ex, p1, p1 + (p2 - p1) * fr_)
         else:  # cubic / sinc: 2-column history from the previous frame
-            tprev = jnp.take(tails_fr, prev_idx, axis=0)
-            hist = jnp.where(first[:, None, None], tails0, tprev)
+            prev = jnp.maximum(jnp.arange(FpR, dtype=jnp.int32) - 1, 0)
+            tprev = jnp.take(tails_fr, prev, axis=0)
+            hist = jnp.where(fpad(first[None])[0, :, None, None],
+                             fpad(tails0[None])[0], tprev)
             hist_g = jnp.transpose(hist.reshape(GaG, SUB, LANE, C, 2),
                                    (3, 0, 4, 1, 2))  # tiny: 2 columns
             ext = jnp.concatenate([hist_g, dec_t], axis=2)
@@ -360,7 +376,7 @@ def _device_grouped_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
         t = jnp.arange(out_lenP, dtype=jnp.float32)
         tg = fpack(rmul)[:, None] + t[None, :, None, None]
         fracg = jnp.minimum((fpack(donef)[:, None] + tg)
-                            / fpack(spanf)[:, None], 1.0)
+                            / fpack(spanf, fill=1)[:, None], 1.0)
         g = fpack(g0f)[:, None] + (fpack(g1f)[:, None]
                                    - fpack(g0f)[:, None]) * fracg
         y5 = y5 * g[None]
@@ -384,7 +400,7 @@ def _device_grouped_fn(K: int, nsubs: int, chan_asgn: int, depth: int,
         tails_last = jnp.take(tails_fr, lastfr, axis=0)  # [Lb, C, 2]
         return win, new_state, tails_last
 
-    return fn, out_len, needs_hist
+    return fn, out_len
 
 
 @functools.lru_cache(maxsize=128)
@@ -876,15 +892,15 @@ class FlacFleet:
     def _device_full_step_grouped(self, parsed, rate, C, depth, n, asgn,
                                   nsubs):
         """Host prep + dispatch for ``_device_grouped_fn`` (unmeshed fully
-        device-resident steps): planar row scatter (subframe j of frame f at
-        row j*FpR + f, planes padded to whole [32, 128] groups), per-frame
-        gain/chain metadata, one fused device call, and the same lane
-        bookkeeping as the lane-major route. Geometry is pre-validated by
-        ``_device_full_step`` (uniform rate/C/depth, one block size n >= 2,
-        one channel assignment)."""
+        device-resident steps): COMPACT planar scatter ([nsubs, Fb, ...] —
+        subframe j of frame f at plane j, row f; the group padding happens
+        on device), per-frame gain/chain metadata, one fused device call,
+        and the same lane bookkeeping as the lane-major route. Geometry is
+        pre-validated by ``_device_full_step`` (uniform rate/C/depth, one
+        block size n >= 2, one channel assignment)."""
         import jax.numpy as jnp
 
-        from ..kernels.flac_pallas import GROUP, _order_bucket
+        from ..kernels.flac_pallas import _order_bucket
 
         lanes = [p[0] for p in parsed]
         orders = np.concatenate([p[2]["order"] for p in parsed])
@@ -895,19 +911,22 @@ class FlacFleet:
         F = len(orders) // nsubs
         K = _order_bucket(int(orders.max()) if len(orders) else 1)
         interpret = self._block_iir == "interpret"
-        fn, out_len, needs_hist = _device_grouped_fn(
+        fn, out_len = _device_grouped_fn(
             K, nsubs, asgn, depth, n, rate, self.out_rate, self.mode,
             CONFIG.sinc_window_size, self._out_mode(C), interpret)
         if fn is None:
             return None
 
-        GaG = _bucket(max(1, -(-F // GROUP)))  # pow2 groups per plane
-        FpR = GaG * GROUP
-        vals = np.zeros((nsubs * FpR, n), np.int32)
-        om = np.zeros(nsubs * FpR, np.int32)
-        sm = np.zeros(nsubs * FpR, np.int32)
-        wm = np.zeros(nsubs * FpR, np.int32)
-        cf = np.zeros((nsubs * FpR, K), np.int32)
+        # compact planar arrays at a pow2 frame bucket (the same transfer
+        # size as the lane-major route's Sp rows); fn pads the frame axis
+        # to whole [32, 128] groups ON DEVICE, so the tunnel never carries
+        # group-padding zeros
+        Fb = _bucket(F)
+        vals = np.zeros((nsubs, Fb, n), np.int32)
+        om = np.zeros((nsubs, Fb), np.int32)
+        sm = np.zeros((nsubs, Fb), np.int32)
+        wm = np.zeros((nsubs, Fb), np.int32)
+        cf = np.zeros((nsubs, Fb, K), np.int32)
         v3 = values.reshape(F, nsubs, n)
         o3 = orders.reshape(F, nsubs)
         s3 = shifts.reshape(F, nsubs)
@@ -915,26 +934,21 @@ class FlacFleet:
         c3 = coefs.reshape(F, nsubs, -1)
         cw = min(K, c3.shape[2])
         for j in range(nsubs):
-            base = j * FpR
-            vals[base:base + F] = v3[:, j]
-            om[base:base + F] = o3[:, j]
-            sm[base:base + F] = s3[:, j]
-            wm[base:base + F] = w3[:, j]
-            cf[base:base + F, :cw] = c3[:, j, :cw]
+            vals[j, :F] = v3[:, j]
+            om[j, :F] = o3[:, j]
+            sm[j, :F] = s3[:, j]
+            wm[j, :F] = w3[:, j]
+            cf[j, :F, :cw] = c3[:, j, :cw]
 
         fstarts = np.concatenate(
             [[0], np.cumsum([len(p[1]) for p in parsed])])
-        if needs_hist:  # cross-frame history feeds the interpolator
-            first = np.zeros(FpR, bool)
-            tails0 = np.zeros((FpR, C, 2), np.float32)
-            for i, li in enumerate(lanes):
-                first[fstarts[i]] = True
-                tails0[fstarts[i]] = self._lanes[li].last
-            prev_idx = np.maximum(np.arange(FpR) - 1, 0).astype(np.int32)
-        else:  # traced-but-unused: constant tiny dummies avoid the transfer
-            first = np.zeros(1, bool)
-            tails0 = np.zeros((1, C, 2), np.float32)
-            prev_idx = np.zeros(1, np.int32)
+        # cross-frame history for cubic/sinc (traced-but-unused — and
+        # dropped by XLA — in the other modes; the fill loop is O(lanes))
+        first = np.zeros(Fb, bool)
+        tails0 = np.zeros((Fb, C, 2), np.float32)
+        for i, li in enumerate(lanes):
+            first[fstarts[i]] = True
+            tails0[fstarts[i]] = self._lanes[li].last
 
         Lb = _bucket(len(lanes))
         m_max = _bucket(max(len(p[1]) for p in parsed))
@@ -944,11 +958,11 @@ class FlacFleet:
         lastblk = np.zeros(Lb, np.int32)
         lastfr = np.zeros(Lb, np.int32)
         ls = np.zeros((Lb, C), np.float32)
-        rmul = np.zeros(FpR, np.float32)  # r*out_len: f32-exact ints
-        g0f = np.ones(FpR, np.float32)
-        g1f = np.ones(FpR, np.float32)
-        donef = np.ones(FpR, np.float32)
-        spanf = np.ones(FpR, np.float32)
+        rmul = np.zeros(Fb, np.float32)  # r*out_len: f32-exact ints
+        g0f = np.ones(Fb, np.float32)
+        g1f = np.ones(Fb, np.float32)
+        donef = np.ones(Fb, np.float32)
+        spanf = np.ones(Fb, np.float32)
         for i, li in enumerate(lanes):
             F_li = len(parsed[i][1])
             fr = fstarts[i] + np.arange(F_li)
@@ -964,7 +978,7 @@ class FlacFleet:
 
         win, new_state, tails_last = fn(*map(jnp.asarray, (
             vals, om, sm, wm, cf, idx, vmask, lastblk, lastfr, rmul,
-            g0f, g1f, donef, spanf, ls, first, prev_idx, tails0)))
+            g0f, g1f, donef, spanf, ls, first, tails0)))
         win = np.asarray(win)
         new_state = np.asarray(new_state)
         tails_last = np.asarray(tails_last)
