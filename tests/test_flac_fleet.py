@@ -549,6 +549,28 @@ def test_fleet_unmeshed_device_route_takes_grouped_path():
         np.testing.assert_allclose(b, a, atol=5e-3)
 
 
+def test_fleet_device_route_wasted_bits():
+    """Wasted-bit subframes decode through the fully device-resident route:
+    the per-row wasted shift rides the grouped metadata pack (verbatim rows,
+    order 0 — no prediction, shift only), matching the host path."""
+    n = 512
+    r = np.random.default_rng(44)
+    frames = []
+    for k in range(4):
+        sig = (r.integers(-1000, 1000, n) * 4).astype(np.int64)
+        frames.append(fixtures.flac_frame(
+            [{"type": "verbatim", "values": [int(v) >> 2 for v in sig],
+              "wasted": 2}], n, 0, 16, frame_number=k))
+    data = (fixtures.flac_stream_header(48000, 1, 16, 4 * n)
+            + b"".join(frames))
+    host, _ = run_fleet([data])
+    fleet = FlacFleet(1, device_restore=True, device_dsp=True)
+    fleet._block_iir = "interpret"
+    dev, _ = run_fleet([data], fleet=fleet)
+    assert host[0].shape == dev[0].shape
+    np.testing.assert_allclose(dev[0], host[0], atol=5e-3)
+
+
 def test_fleet_device_resident_mixed_geometry_falls_back():
     """A step whose frames span two block sizes (short final frame arriving
     with earlier full frames) is rejected by _device_full_step and decodes
