@@ -549,6 +549,22 @@ def test_fleet_unmeshed_device_route_takes_grouped_path():
         np.testing.assert_allclose(b, a, atol=5e-3)
 
 
+def test_fleet_device_route_odd_block_size():
+    """A uniform block size that is NOT a [32,128] time-tile multiple
+    (n % 128 != 0) rides the grouped route's device-side time padding:
+    identity-rate and resampling geometries both stay close to the host
+    oracle (IIR finals read at out_len-1, window slice before transpose)."""
+    datas = [make_flac(48000, 4, n=520, seed=200),
+             make_flac(32000, 4, n=520, seed=201)]
+    host, _ = run_fleet(datas)
+    fleet = FlacFleet(2, device_restore=True, device_dsp=True)
+    fleet._block_iir = "interpret"
+    dev, _ = run_fleet(datas, fleet=fleet)
+    for a, b in zip(host, dev):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(b, a, atol=5e-3)
+
+
 def test_fleet_device_route_wasted_bits():
     """Wasted-bit subframes decode through the fully device-resident route:
     the per-row wasted shift rides the grouped metadata pack (verbatim rows,
